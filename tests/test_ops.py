@@ -1,0 +1,165 @@
+"""Golden-parity tests for srewd_tpu.ops against torch CPU reference ops.
+
+These pin the numerics the residual diffusion pipelines depend on
+(SURVEY.md §7 "hard parts"): bicubic x4 feeds x0 = HR - bicubic(LR).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from srewd_tpu.ops.resize import bicubic_up4, resize2d, upsample_nearest2x
+from srewd_tpu.ops.wavelets import haar_dwt2d, haar_dwt_pyramid, haar_idwt2d
+from srewd_tpu.ops.finite_diff import fd_stencils
+from srewd_tpu.ops.ssim import ssim
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+def _rand(b, h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((b, h, w, c)).astype(np.float32)
+
+
+def _to_torch_nchw(x_nhwc):
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+
+
+def _from_torch_nchw(t):
+    return np.transpose(t.numpy(), (0, 2, 3, 1))
+
+
+class TestResize:
+    def test_bicubic_up4_matches_torch(self):
+        x = _rand(2, 32, 64, 1)
+        got = np.asarray(bicubic_up4(jnp.asarray(x)))
+        want = _from_torch_nchw(
+            F.interpolate(_to_torch_nchw(x), scale_factor=4, mode="bicubic")
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_bicubic_multichannel(self):
+        x = _rand(3, 16, 24, 4, seed=3)
+        got = np.asarray(resize2d(jnp.asarray(x), (64, 96), "bicubic"))
+        want = _from_torch_nchw(
+            F.interpolate(_to_torch_nchw(x), scale_factor=4, mode="bicubic")
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_bilinear_down2_matches_torch(self):
+        x = _rand(2, 32, 64, 2, seed=1)
+        got = np.asarray(resize2d(jnp.asarray(x), (16, 32), "bilinear"))
+        want = _from_torch_nchw(
+            F.interpolate(
+                _to_torch_nchw(x), scale_factor=0.5, mode="bilinear", align_corners=False
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_nearest2x_matches_torch(self):
+        x = _rand(2, 8, 12, 3, seed=2)
+        got = np.asarray(upsample_nearest2x(jnp.asarray(x)))
+        want = _from_torch_nchw(F.interpolate(_to_torch_nchw(x), scale_factor=2, mode="nearest"))
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+class TestHaar:
+    def test_perfect_reconstruction(self):
+        x = jnp.asarray(_rand(2, 16, 32, 2, seed=4))
+        ll, highs = haar_dwt2d(x)
+        rec = haar_idwt2d(ll, highs)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(x), rtol=1e-6, atol=1e-6)
+
+    def test_orthonormal_energy(self):
+        x = jnp.asarray(_rand(1, 32, 32, 1, seed=5))
+        ll, (h, v, d) = haar_dwt2d(x)
+        e_in = float(jnp.sum(x**2))
+        e_out = float(jnp.sum(ll**2) + jnp.sum(h**2) + jnp.sum(v**2) + jnp.sum(d**2))
+        assert abs(e_in - e_out) / e_in < 1e-6
+
+    def test_constant_image_has_no_detail(self):
+        x = jnp.ones((1, 8, 8, 1)) * 3.0
+        ll, (h, v, d) = haar_dwt2d(x)
+        np.testing.assert_allclose(np.asarray(ll), 6.0)  # 2x lowpass gain per level
+        assert float(jnp.max(jnp.abs(h))) == 0.0
+        assert float(jnp.max(jnp.abs(v))) == 0.0
+        assert float(jnp.max(jnp.abs(d))) == 0.0
+
+    def test_pyramid_shapes(self):
+        x = jnp.asarray(_rand(2, 128, 256, 1, seed=6))
+        pyr = haar_dwt_pyramid(x, levels=4, combine="sum")
+        shapes = [p.shape for p in pyr]
+        assert shapes == [
+            (2, 64, 128, 1),
+            (2, 32, 64, 1),
+            (2, 16, 32, 1),
+            (2, 8, 16, 1),
+        ]
+        pyr3 = haar_dwt_pyramid(x, levels=2, combine="concat")
+        assert pyr3[0].shape == (2, 64, 128, 3)
+
+    def test_known_2x2_block(self):
+        x = jnp.asarray(np.array([[1.0, 2.0], [3.0, 4.0]], np.float32).reshape(1, 2, 2, 1))
+        ll, (h, v, d) = haar_dwt2d(x)
+        assert float(ll[0, 0, 0, 0]) == pytest.approx(5.0)  # (1+2+3+4)/2
+        assert float(h[0, 0, 0, 0]) == pytest.approx(-2.0)  # (1+2-3-4)/2
+        assert float(v[0, 0, 0, 0]) == pytest.approx(-1.0)  # (1-2+3-4)/2
+        assert float(d[0, 0, 0, 0]) == pytest.approx(0.0)
+
+
+class TestFiniteDiff:
+    def test_matches_torch_conv(self):
+        x = _rand(2, 16, 24, 3, seed=7)
+        got = np.asarray(fd_stencils(jnp.asarray(x)))
+
+        t = _to_torch_nchw(x)
+        c = t.shape[1]
+        kx = torch.tensor([[0, 0, 0], [0, -1, 1], [0, 0, 0]], dtype=torch.float32).view(1, 1, 3, 3)
+        ky = torch.tensor([[0, 0, 0], [0, -1, 0], [0, 1, 0]], dtype=torch.float32).view(1, 1, 3, 3)
+        kxy = torch.tensor([[0, 1, 0], [1, -4, 1], [0, 1, 0]], dtype=torch.float32).view(1, 1, 3, 3)
+        pad = F.pad(t, (1, 1, 1, 1), mode="reflect")
+        outs = [F.conv2d(pad, k.repeat(1, c, 1, 1)) for k in (kx, ky, kxy)]
+        want = _from_torch_nchw(torch.cat(outs, dim=1))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestSSIM:
+    def test_identical_images(self):
+        x = jnp.asarray(np.abs(_rand(2, 32, 32, 1, seed=8)) + 1.0)
+        s = ssim(x, x, data_range=1.0)
+        np.testing.assert_allclose(np.asarray(s), 1.0, atol=1e-6)
+
+    def test_matches_skimage_formula(self):
+        # Independent numpy re-derivation of skimage's structural_similarity
+        # (uniform 7x7, sample covariance, crop 3), per-image data range.
+        rng = np.random.default_rng(9)
+        a = rng.standard_normal((20, 24)).astype(np.float64)
+        b = a + 0.1 * rng.standard_normal((20, 24))
+
+        def win_mean(img):
+            h, w = img.shape
+            out = np.zeros((h - 6, w - 6))
+            for i in range(h - 6):
+                for j in range(w - 6):
+                    out[i, j] = img[i : i + 7, j : j + 7].mean()
+            return out
+
+        dr = b.max() - b.min()
+        ux, uy = win_mean(b), win_mean(a)
+        uxx, uyy, uxy = win_mean(b * b), win_mean(a * a), win_mean(a * b)
+        cn = 49 / 48
+        vx, vy, vxy = cn * (uxx - ux**2), cn * (uyy - uy**2), cn * (uxy - ux * uy)
+        c1, c2 = (0.01 * dr) ** 2, (0.03 * dr) ** 2
+        want = np.mean(
+            ((2 * ux * uy + c1) * (2 * vxy + c2)) / ((ux**2 + uy**2 + c1) * (vx + vy + c2))
+        )
+
+        got = float(
+            ssim(
+                jnp.asarray(b[None, :, :, None], jnp.float32),
+                jnp.asarray(a[None, :, :, None], jnp.float32),
+            )[0]
+        )
+        assert got == pytest.approx(want, abs=2e-5)
