@@ -1,0 +1,112 @@
+"""Gaussian diffusion as pure functions + the scan-based reverse sampler.
+
+Reference semantics pinned here (models/diffusion_models/diffusion.py):
+  * training draws ONE integer t ~ U[1, T] per batch, then a per-sample
+    continuous gamma ~ U(sqrt_ac_prev[t-1], sqrt_ac_prev[t])
+    (e.g. resdiff_diffusion.py:128-138) — `draw_time_and_gamma`.
+  * q_sample: x_t = gamma * x0 + sqrt(1 - gamma^2) * eps (diffusion.py:209-228).
+  * reverse step: eps-prediction -> x0 estimate (clipped to [-1,1]) ->
+    posterior mean + exp(0.5 * clipped log var) * noise, noise gated off at
+    t == 0 (diffusion.py:144-192).
+  * the denoiser is conditioned on the continuous noise level
+    sqrt_ac_prev[t+1] broadcast over the batch (diffusion.py:159-160).
+
+TPU-first: `sample_chain` runs the full T-step reverse process as ONE
+jax.lax.scan with the image carry donated and all schedule constants
+indexed on-device — the reference drives T=1000 sequential UNet calls from
+Python, building host tensors each step (SURVEY.md §3.2: "the dominant cost
+of the whole system").
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .schedule import Schedule
+
+# denoise_fn(x_t, noise_level[B]) -> predicted epsilon; conditioning is closed over.
+DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def q_sample(x_start: jnp.ndarray, gamma: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
+    """Forward-noise x0 at continuous level gamma (per-sample, [B])."""
+    g = gamma.reshape(-1, 1, 1, 1)
+    return g * x_start + jnp.sqrt(1.0 - g * g) * noise
+
+
+def draw_time_and_gamma(key: jax.Array, schedule: Schedule, batch: int):
+    """(t, gamma): one t ~ U[1,T] per batch; gamma ~ U(s[t-1], s[t]) per sample."""
+    kt, kg = jax.random.split(key)
+    t = jax.random.randint(kt, (), 1, schedule.num_timesteps + 1)
+    lo = schedule.sqrt_alphas_cumprod_prev[t - 1]
+    hi = schedule.sqrt_alphas_cumprod_prev[t]
+    gamma = jax.random.uniform(kg, (batch,), minval=lo, maxval=hi)
+    return t, gamma
+
+
+def predict_start_from_noise(
+    schedule: Schedule, x_t: jnp.ndarray, t: jnp.ndarray, eps: jnp.ndarray
+) -> jnp.ndarray:
+    return (
+        schedule.sqrt_recip_alphas_cumprod[t] * x_t
+        - schedule.sqrt_recipm1_alphas_cumprod[t] * eps
+    )
+
+
+def q_posterior(schedule: Schedule, x_start: jnp.ndarray, x_t: jnp.ndarray, t: jnp.ndarray):
+    mean = schedule.posterior_mean_coef1[t] * x_start + schedule.posterior_mean_coef2[t] * x_t
+    log_var = schedule.posterior_log_variance_clipped[t]
+    return mean, log_var
+
+
+def p_sample_step(
+    schedule: Schedule,
+    denoise_fn: DenoiseFn,
+    img: jnp.ndarray,
+    t: jnp.ndarray,
+    key: jax.Array,
+    clip_denoised: bool = True,
+) -> jnp.ndarray:
+    """One reverse step x_t -> x_{t-1} (diffusion.py:175-192)."""
+    b = img.shape[0]
+    noise_level = jnp.broadcast_to(schedule.sqrt_alphas_cumprod_prev[t + 1], (b,))
+    eps = denoise_fn(img, noise_level)
+    x_recon = predict_start_from_noise(schedule, img, t, eps)
+    if clip_denoised:
+        x_recon = jnp.clip(x_recon, -1.0, 1.0)
+    mean, log_var = q_posterior(schedule, x_recon, img, t)
+    noise = jax.random.normal(key, img.shape, img.dtype)
+    noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+    return mean + noise * jnp.exp(0.5 * log_var)
+
+
+def sample_chain(
+    schedule: Schedule,
+    denoise_fn: DenoiseFn,
+    shape: tuple,
+    key: jax.Array,
+    init: Optional[jnp.ndarray] = None,
+    clip_denoised: bool = True,
+) -> jnp.ndarray:
+    """Full reverse diffusion from pure noise, as a single lax.scan over T.
+
+    Per-step PRNG keys are fold_in'd from `key`; the image carry is donated
+    by XLA (scan carries reuse buffers), so the chain runs entirely
+    on-device with zero host round-trips.
+    """
+    k_init, k_chain = jax.random.split(key)
+    img = jax.random.normal(k_init, shape) if init is None else init
+
+    def step(carry, t):
+        img = carry
+        img = p_sample_step(
+            schedule, denoise_fn, img, t, jax.random.fold_in(k_chain, t), clip_denoised
+        )
+        return img, None
+
+    ts = jnp.arange(schedule.num_timesteps - 1, -1, -1)
+    img, _ = jax.lax.scan(step, img, ts)
+    return img

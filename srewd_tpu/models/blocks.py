@@ -1,0 +1,297 @@
+"""Shared NN blocks of every diffusion UNet, as Flax NHWC modules.
+
+These correspond to the reference's hot modules (SURVEY.md §2.4):
+  PositionalEncoding / Swish / Mish / Upsample / Downsample
+    (reference: models/diffusion_models/nn_modules/functional_layers.py)
+  Block / ResnetBlock / SelfAttention / ResnetBlocWithAttn / FeatureWiseAffine
+    (reference: models/diffusion_models/nn_modules/resnet.py)
+
+TPU-first choices:
+  * NHWC layout (native TPU conv layout); params float32, compute dtype
+    configurable (bfloat16 recommended on TPU).
+  * Self-attention over flattened spatial tokens as one batched matmul pair —
+    the reference's einsum produces a [B,n,H,W,H,W] 6-D tensor
+    (resnet.py:90-97); flattening to [B,n,HW,HW] maps directly onto the MXU.
+  * Nearest-upsample is a broadcast-reshape, not a gather.
+
+Numerics parity notes:
+  * GroupNorm eps 1e-5 (torch default).
+  * Attention scale is 1/sqrt(total_channels) — NOT per-head dim — matching
+    resnet.py:92.
+  * The noise-level MLP uses Swish for SR3/ResDiff/PhyDiff and Mish for
+    SRDiff/PhySRDiff (srdiff/unet.py:52, physrdiff/unet.py:66).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.resize import upsample_nearest2x
+
+Dtype = Any
+
+# Orthogonal kernels, zero bias: the reference applies orthogonal init to all
+# Conv/Linear weights at train time (networks.py:56-77, init_weights 'orthogonal').
+default_kernel_init = jax.nn.initializers.orthogonal()
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+class PositionalEncoding(nn.Module):
+    """WaveGrad-style sinusoidal encoding of a continuous noise level.
+
+    noise_level [B] -> [B, dim]. Reference: functional_layers.py:21-41.
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, noise_level: jnp.ndarray) -> jnp.ndarray:
+        count = self.dim // 2
+        step = jnp.arange(count, dtype=jnp.float32) / count
+        encoding = noise_level.astype(jnp.float32)[:, None] * jnp.exp(
+            -math.log(1e4) * step[None, :]
+        )
+        return jnp.concatenate([jnp.sin(encoding), jnp.cos(encoding)], axis=-1)
+
+
+class NoiseLevelMLP(nn.Module):
+    """PositionalEncoding -> Dense(4x) -> act -> Dense(1x). [B] -> [B, dim]."""
+
+    dim: int
+    activation: Callable = swish
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, noise_level: jnp.ndarray) -> jnp.ndarray:
+        t = PositionalEncoding(self.dim)(noise_level)
+        t = nn.Dense(self.dim * 4, kernel_init=default_kernel_init, dtype=self.dtype)(t)
+        t = self.activation(t)
+        t = nn.Dense(self.dim, kernel_init=default_kernel_init, dtype=self.dtype)(t)
+        return t
+
+
+class FeatureWiseAffine(nn.Module):
+    """Inject noise embedding into features: add, or affine (1+g)*x + b.
+
+    Reference: resnet.py:131-157.
+    """
+
+    out_channels: int
+    use_affine_level: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, noise_embed: jnp.ndarray) -> jnp.ndarray:
+        mult = 2 if self.use_affine_level else 1
+        h = nn.Dense(
+            self.out_channels * mult, kernel_init=default_kernel_init, dtype=self.dtype
+        )(noise_embed)
+        h = h[:, None, None, :]
+        if self.use_affine_level:
+            gamma, beta = jnp.split(h, 2, axis=-1)
+            return (1.0 + gamma) * x + beta
+        return x + h
+
+
+class Block(nn.Module):
+    """GroupNorm -> Swish -> Dropout -> Conv3x3. Reference: resnet.py:7-28."""
+
+    dim_out: int
+    groups: int = 32
+    dropout: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
+        h = swish(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
+        h = nn.Conv(
+            self.dim_out, (3, 3), padding=1, kernel_init=default_kernel_init, dtype=self.dtype
+        )(h)
+        return h
+
+
+class ResnetBlock(nn.Module):
+    """Two conv blocks with noise injection and a residual 1x1 shortcut.
+
+    Reference: resnet.py:31-59.
+    """
+
+    dim_out: int
+    dropout: float = 0.0
+    use_affine_level: bool = False
+    norm_groups: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, time_emb: jnp.ndarray, *, train: bool = False):
+        h = Block(self.dim_out, groups=self.norm_groups, dtype=self.dtype)(x, train=train)
+        h = FeatureWiseAffine(self.dim_out, self.use_affine_level, dtype=self.dtype)(
+            h, time_emb
+        )
+        h = Block(self.dim_out, groups=self.norm_groups, dropout=self.dropout, dtype=self.dtype)(
+            h, train=train
+        )
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(
+                self.dim_out, (1, 1), kernel_init=default_kernel_init, dtype=self.dtype
+            )(x)
+        return h + x
+
+
+class SelfAttention(nn.Module):
+    """Full-spatial self-attention over flattened H*W tokens.
+
+    Matches resnet.py:62-100 (qkv 1x1 no-bias, out 1x1 with bias, residual,
+    scale 1/sqrt(total channels)); computed as [B,n,HW,HW] matmuls.
+    """
+
+    n_head: int = 1
+    norm_groups: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        n_head = self.n_head
+        head_dim = c // n_head
+
+        norm = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=self.dtype)(x)
+        qkv = nn.Conv(
+            c * 3, (1, 1), use_bias=False, kernel_init=default_kernel_init, dtype=self.dtype
+        )(norm)
+        qkv = qkv.reshape(b, h * w, n_head, 3 * head_dim)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # [B, HW, n, d]
+
+        attn = jnp.einsum(
+            "bind,bjnd->bnij", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(c)
+        attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bnij,bjnd->bind", attn, v, preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype).reshape(b, h, w, c)
+        out = nn.Conv(c, (1, 1), kernel_init=default_kernel_init, dtype=self.dtype)(out)
+        return out + x
+
+
+class CrossAttention(nn.Module):
+    """HF-guided cross-attention: DWT high-freq image queries feature keys.
+
+    Reference: resdiff/guided_cross_attention.py (HF_guided_CA) — query from
+    a 1x1 no-bias projection of the wavelet image, key/value from the
+    GroupNorm'd feature map, full-spatial attention, residual output.
+    """
+
+    norm_groups: int = 32
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, query_img: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        norm = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=self.dtype)(x)
+        kv = nn.Conv(
+            c * 2, (1, 1), use_bias=False, kernel_init=default_kernel_init, dtype=self.dtype
+        )(norm)
+        k, v = jnp.split(kv.reshape(b, h * w, 2 * c), 2, axis=-1)
+        q = nn.Conv(
+            c, (1, 1), use_bias=False, kernel_init=default_kernel_init, dtype=self.dtype
+        )(query_img).reshape(b, h * w, c)
+
+        attn = jnp.einsum(
+            "bic,bjc->bij", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(c)
+        attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bij,bjc->bic", attn, v, preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype).reshape(b, h, w, c)
+        out = nn.Conv(c, (1, 1), kernel_init=default_kernel_init, dtype=self.dtype)(out)
+        return out + x
+
+
+class ResnetBlockWithAttn(nn.Module):
+    """ResnetBlock optionally followed by SelfAttention. Reference: resnet.py:103-128."""
+
+    dim_out: int
+    norm_groups: int = 32
+    dropout: float = 0.0
+    with_attn: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, time_emb: jnp.ndarray, *, train: bool = False):
+        x = ResnetBlock(
+            self.dim_out,
+            dropout=self.dropout,
+            norm_groups=self.norm_groups,
+            dtype=self.dtype,
+        )(x, time_emb, train=train)
+        if self.with_attn:
+            x = SelfAttention(norm_groups=self.norm_groups, dtype=self.dtype)(x)
+        return x
+
+
+class Upsample(nn.Module):
+    """Nearest x2 then Conv3x3 (same channels). Reference: functional_layers.py:54-67."""
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = upsample_nearest2x(x)
+        return nn.Conv(
+            x.shape[-1], (3, 3), padding=1, kernel_init=default_kernel_init, dtype=self.dtype
+        )(x)
+
+
+class Downsample(nn.Module):
+    """Stride-2 Conv3x3 (same channels). Reference: functional_layers.py:70-82."""
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            x.shape[-1],
+            (3, 3),
+            strides=(2, 2),
+            padding=1,
+            kernel_init=default_kernel_init,
+            dtype=self.dtype,
+        )(x)
+
+
+class ResSE(nn.Module):
+    """Squeeze-excite with residual: x * sigmoid(MLP(avgpool(x))) + x.
+
+    Reference: resdiff/fd_info_spliter.py:120-148.
+    """
+
+    reduction: int = 2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        y = jnp.mean(x, axis=(1, 2))  # [B, C]
+        y = nn.Dense(
+            max(c // self.reduction, 1),
+            use_bias=False,
+            kernel_init=default_kernel_init,
+            dtype=self.dtype,
+        )(y)
+        y = jax.nn.relu(y)
+        y = nn.Dense(c, use_bias=False, kernel_init=default_kernel_init, dtype=self.dtype)(y)
+        y = jax.nn.sigmoid(y)
+        return x * y[:, None, None, :] + x

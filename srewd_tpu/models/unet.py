@@ -1,0 +1,242 @@
+"""WeatherUNet — the unified denoiser UNet covering all five architectures.
+
+One Flax module parameterized by `variant`, replicating the exact layer
+bookkeeping of the reference UNets (SURVEY.md §2.5):
+
+  variant='sr3'       reference models/diffusion_models/sr3/unet.py
+    plain UNet; mid = 1 block (no attention).
+  variant='resdiff'   resdiff/unet.py
+    FD_Info_Spliter front-end; HF-guided cross-attention on the skip tensor
+    at each downsample boundary, queried by the summed Haar HF pyramid of
+    the condition image; mid = [attn block, plain block].
+  variant='phydiff'   phydiff/unet.py
+    input augmented with 3 finite-difference stencil maps of the condition;
+    HF-guided CA with channel-concat 3-component wavelet queries.
+  variant='srdiff'    srdiff/unet.py
+    Mish noise MLP; RRDB feature conditioning added to the trunk after the
+    last full-resolution residual block (reference index i==2,
+    srdiff/unet.py:126-127) via a x4 transposed-conv projection.
+  variant='physrdiff' physrdiff/unet.py
+    SRDiff + ResDiff hybrid: FD spliter + RRDB cond_proj + HF-guided CA.
+    The reference's forward is unrunnable as written (undefined
+    `self.fd_spliter`, physrdiff/unet.py:150, and a query-channel mismatch:
+    HF_guided_CA built with wavelet_components=3 but fed summed 1-component
+    queries, :86 vs :148). We implement the evident intent: an
+    FD_Info_Spliter member over (interpolated, noisy) and concat
+    3-component wavelet queries.
+
+TPU-first notes:
+  * conditioning tensors that are constant across the reverse-diffusion scan
+    (DWT pyramids, RRDB features, FD stencils of the condition) are accepted
+    as precomputed inputs so the sampler hoists them out of the 1000-step
+    scan — the reference recomputes the DWT (and re-creates the transform
+    module) on every one of the 1000 UNet calls (resdiff/unet.py:128-130).
+  * all shapes/static structure are resolved at trace time; downsample
+    boundaries are known statically so there is no shape-dependent Python in
+    the compiled graph.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.finite_diff import fd_stencils
+from ..ops.wavelets import haar_dwt_pyramid
+from .blocks import (
+    Block,
+    CrossAttention,
+    Downsample,
+    NoiseLevelMLP,
+    ResnetBlockWithAttn,
+    Upsample,
+    default_kernel_init,
+    mish,
+    swish,
+)
+from .fd_info_spliter import FDInfoSpliter
+
+_VARIANTS = ("sr3", "resdiff", "phydiff", "srdiff", "physrdiff")
+# Number of wavelet pyramid levels (J) used for HF-guided CA queries;
+# reference hardcodes J=4 (resdiff/unet.py:73).
+_J = 4
+
+
+class WeatherUNet(nn.Module):
+    variant: str = "sr3"
+    in_channel: int = 2
+    out_channel: int = 1
+    inner_channel: int = 64
+    norm_groups: int = 32
+    channel_mults: Sequence[int] = (1, 2, 4, 8, 8)
+    attn_res: Sequence[int] = (16,)
+    res_blocks: int = 2
+    dropout: float = 0.0
+    image_height: int = 128
+    image_width: int = 256
+    image_channels: int = 1
+    rrdb_num_feats: int = 64  # hidden_size (srdiff/unet.py:41)
+    rrdb_num_blocks: int = 17
+    dtype: Optional[Any] = None
+
+    def _wavelet_combine(self) -> str:
+        return "sum" if self.variant == "resdiff" else "concat"
+
+    def make_dwt_pyramid(self, cond_img: jnp.ndarray) -> list[jnp.ndarray]:
+        """HF query pyramid from the condition image (hoistable out of scan)."""
+        return haar_dwt_pyramid(cond_img, levels=_J, combine=self._wavelet_combine())
+
+    def project_rrdb_features(self, feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        """Concat every-3rd RRDB feature map (srdiff/unet.py:118: feas[2::3])."""
+        return jnp.concatenate(list(feats)[2::3], axis=-1)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        noise_level: jnp.ndarray,
+        *,
+        rrdb_feats: Optional[jnp.ndarray] = None,
+        dwt_pyramid: Optional[Sequence[jnp.ndarray]] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """Denoise.
+
+        x            [B,H,W,Cin]: channel-concat UNet input —
+                     sr3/resdiff/phydiff: concat(condition, noisy);
+                     srdiff: noisy only; physrdiff: concat(interp, noisy).
+        noise_level  [B] continuous sqrt-alpha-cumprod level.
+        rrdb_feats   [B,h,w,384] pre-concatenated every-3rd RRDB features
+                     (srdiff/physrdiff), see project_rrdb_features.
+        dwt_pyramid  per-level HF query images (resdiff/phydiff/physrdiff);
+                     computed from x's condition channels when None.
+        """
+        if self.variant not in _VARIANTS:
+            raise ValueError(f"unknown variant {self.variant}")
+        uses_ca = self.variant in ("resdiff", "phydiff", "physrdiff")
+        uses_spliter = self.variant in ("resdiff", "physrdiff")
+        uses_rrdb = self.variant in ("srdiff", "physrdiff")
+        act = mish if self.variant in ("srdiff", "physrdiff") else swish
+
+        c_img = self.image_channels
+        t = NoiseLevelMLP(self.inner_channel, activation=act, dtype=self.dtype)(noise_level)
+
+        if uses_ca and dwt_pyramid is None:
+            dwt_pyramid = self.make_dwt_pyramid(x[..., :c_img])
+        dwt_pyramid = list(dwt_pyramid) if dwt_pyramid is not None else []
+
+        cond = None
+        if uses_rrdb:
+            if rrdb_feats is None:
+                raise ValueError(f"variant {self.variant} requires rrdb_feats")
+            # x4 transposed conv: hidden*(nb+1)//3 channels -> hidden, LR -> HR
+            # (srdiff/unet.py:43-45).
+            cond = nn.ConvTranspose(
+                self.rrdb_num_feats,
+                (8, 8),
+                strides=(4, 4),
+                padding="SAME",
+                kernel_init=default_kernel_init,
+                dtype=self.dtype,
+            )(rrdb_feats)
+
+        if uses_spliter:
+            x = FDInfoSpliter(
+                image_channels=c_img, out_channels=self.out_channel, dtype=self.dtype
+            )(x, t)
+        elif self.variant == "phydiff":
+            # 3 fixed physics stencil maps of the condition (phydiff/unet.py:311-314).
+            x = jnp.concatenate([x, fd_stencils(x[..., :c_img])], axis=-1)
+
+        num_mults = len(self.channel_mults)
+        now_res = self.image_height
+
+        # ---- down path (bookkeeping mirrors sr3/unet.py:60-75) ----
+        feats: list[jnp.ndarray] = []
+        feat_channels: list[int] = [self.inner_channel]
+        x = nn.Conv(
+            self.inner_channel, (3, 3), padding=1, kernel_init=default_kernel_init,
+            dtype=self.dtype,
+        )(x)
+        feats.append(x)
+        down_layer_idx = 1  # enumeration index over the reference's downs list
+        ca_idx = 0
+        pre_channel = self.inner_channel
+        for ind in range(num_mults):
+            is_last = ind == num_mults - 1
+            use_attn = now_res in tuple(self.attn_res)
+            channel_mult = self.inner_channel * self.channel_mults[ind]
+            for _ in range(self.res_blocks):
+                x = ResnetBlockWithAttn(
+                    channel_mult,
+                    norm_groups=self.norm_groups,
+                    dropout=self.dropout,
+                    with_attn=use_attn,
+                    dtype=self.dtype,
+                )(x, t, train=train)
+                if uses_rrdb and down_layer_idx == 2:
+                    x = x + cond  # srdiff/unet.py:126-127
+                feats.append(x)
+                feat_channels.append(channel_mult)
+                pre_channel = channel_mult
+                down_layer_idx += 1
+            if not is_last:
+                x = Downsample(dtype=self.dtype)(x)
+                if uses_rrdb and down_layer_idx == 2:
+                    x = x + cond
+                if uses_ca and ca_idx < _J:
+                    # skip tensor gets the HF-guided CA enhancement; the trunk
+                    # continues with x unmodified (resdiff/unet.py:156-163)
+                    query = dwt_pyramid[ca_idx]
+                    feats.append(
+                        CrossAttention(norm_groups=self.norm_groups, dtype=self.dtype)(
+                            x, query
+                        )
+                    )
+                    ca_idx += 1
+                else:
+                    feats.append(x)
+                feat_channels.append(pre_channel)
+                now_res //= 2
+                down_layer_idx += 1
+
+        # ---- mid (sr3: single plain block; others: attn + plain) ----
+        if self.variant == "sr3":
+            mid_specs = [False]
+        else:
+            mid_specs = [True, False]
+        for with_attn in mid_specs:
+            x = ResnetBlockWithAttn(
+                pre_channel,
+                norm_groups=self.norm_groups,
+                dropout=self.dropout,
+                with_attn=with_attn,
+                dtype=self.dtype,
+            )(x, t, train=train)
+
+        # ---- up path (sr3/unet.py:83-97) ----
+        for ind in reversed(range(num_mults)):
+            is_last = ind < 1
+            use_attn = now_res in tuple(self.attn_res)
+            channel_mult = self.inner_channel * self.channel_mults[ind]
+            for _ in range(self.res_blocks + 1):
+                skip = feats.pop()
+                feat_channels.pop()
+                x = ResnetBlockWithAttn(
+                    channel_mult,
+                    norm_groups=self.norm_groups,
+                    dropout=self.dropout,
+                    with_attn=use_attn,
+                    dtype=self.dtype,
+                )(jnp.concatenate([x, skip], axis=-1), t, train=train)
+                pre_channel = channel_mult
+            if not is_last:
+                x = Upsample(dtype=self.dtype)(x)
+                now_res *= 2
+
+        out = Block(self.out_channel, groups=self.norm_groups, dtype=self.dtype)(
+            x, train=train
+        )
+        return out

@@ -1,0 +1,128 @@
+"""Diffusion schedule + reverse-process numerics tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srewd_tpu.diffusion.gaussian import (
+    draw_time_and_gamma,
+    p_sample_step,
+    predict_start_from_noise,
+    q_posterior,
+    q_sample,
+    sample_chain,
+)
+from srewd_tpu.diffusion.schedule import Schedule, make_beta_schedule
+
+
+class TestBetaSchedules:
+    def test_linear_matches_reference_config(self):
+        # linear 1e-6 -> 1e-2, T=1000 is the schedule of every experiment
+        # config (SURVEY.md §2.2).
+        b = make_beta_schedule("linear", 1000, 1e-6, 1e-2)
+        assert b.shape == (1000,)
+        assert b[0] == pytest.approx(1e-6)
+        assert b[-1] == pytest.approx(1e-2)
+        assert np.all(np.diff(b) > 0)
+
+    def test_all_schedules_valid(self):
+        for name in ("quad", "linear", "warmup10", "warmup50", "const", "jsd", "cosine"):
+            b = make_beta_schedule(name, 100, 1e-6, 1e-2)
+            assert b.shape == (100,)
+            assert np.all(b > 0) and np.all(b <= 1.0), name
+
+    def test_warmup_structure(self):
+        b = make_beta_schedule("warmup10", 100, 1e-6, 1e-2)
+        assert np.all(b[10:] == 1e-2)
+        assert b[0] == pytest.approx(1e-6)
+
+    def test_jsd(self):
+        b = make_beta_schedule("jsd", 10)
+        np.testing.assert_allclose(b, 1.0 / np.arange(10, 0, -1))
+
+
+class TestScheduleBuffers:
+    def test_derived_quantities(self):
+        s = Schedule.create("linear", 100, 1e-6, 1e-2)
+        betas = np.asarray(s.betas, np.float64)
+        ac = np.cumprod(1 - betas)
+        np.testing.assert_allclose(np.asarray(s.alphas_cumprod), ac, rtol=1e-5)
+        assert s.sqrt_alphas_cumprod_prev.shape == (101,)
+        assert float(s.sqrt_alphas_cumprod_prev[0]) == 1.0
+        np.testing.assert_allclose(
+            np.asarray(s.sqrt_alphas_cumprod_prev[1:]), np.sqrt(ac), rtol=1e-5
+        )
+        # posterior mean coefficients sum behaviour at x0 == x_t == x
+        t = 50
+        np.testing.assert_allclose(
+            float(s.posterior_mean_coef1[t] + s.posterior_mean_coef2[t]),
+            1.0,
+            rtol=1e-4,
+        )
+
+    def test_posterior_variance_clipping(self):
+        s = Schedule.create("linear", 100, 1e-6, 1e-2)
+        # first step posterior variance is 0 -> clipped log
+        assert float(s.posterior_log_variance_clipped[0]) == pytest.approx(
+            np.log(1e-20), rel=1e-5
+        )
+
+
+class TestForwardReverse:
+    def test_q_sample_variance_preserving(self):
+        key = jax.random.key(0)
+        x0 = jnp.ones((4, 8, 8, 1))
+        gamma = jnp.full((4,), 0.6)
+        noise = jax.random.normal(key, x0.shape)
+        xt = q_sample(x0, gamma, noise)
+        np.testing.assert_allclose(
+            np.asarray(xt), 0.6 * np.asarray(x0) + np.sqrt(1 - 0.36) * np.asarray(noise),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_predict_start_inverts_q_sample_at_discrete_t(self):
+        s = Schedule.create("linear", 100, 1e-6, 1e-2)
+        t = 40
+        key = jax.random.key(1)
+        x0 = jax.random.normal(key, (2, 8, 8, 1))
+        noise = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+        gamma = jnp.broadcast_to(jnp.sqrt(s.alphas_cumprod[t]), (2,))
+        xt = q_sample(x0, gamma, noise)
+        x0_hat = predict_start_from_noise(s, xt, t, noise)
+        np.testing.assert_allclose(np.asarray(x0_hat), np.asarray(x0), rtol=1e-3, atol=1e-4)
+
+    def test_q_posterior_interpolates(self):
+        s = Schedule.create("linear", 100, 1e-6, 1e-2)
+        x = jnp.ones((1, 4, 4, 1)) * 0.5
+        mean, logvar = q_posterior(s, x, x, 10)
+        np.testing.assert_allclose(np.asarray(mean), 0.5, rtol=1e-4)
+        assert logvar.shape == ()
+
+    def test_draw_time_and_gamma_bounds(self):
+        s = Schedule.create("linear", 50, 1e-6, 1e-2)
+        t, gamma = draw_time_and_gamma(jax.random.key(0), s, 64)
+        t = int(t)
+        assert 1 <= t <= 50
+        lo = float(s.sqrt_alphas_cumprod_prev[t - 1])
+        hi = float(s.sqrt_alphas_cumprod_prev[t])
+        g = np.asarray(gamma)
+        assert np.all(g >= min(lo, hi)) and np.all(g <= max(lo, hi))
+
+    def test_final_step_adds_no_noise(self):
+        s = Schedule.create("linear", 10, 1e-4, 1e-2)
+        denoise = lambda x, lvl: jnp.zeros_like(x)  # noqa: E731
+        img = jnp.ones((1, 4, 4, 1)) * 0.3
+        out1 = p_sample_step(s, denoise, img, 0, jax.random.key(0))
+        out2 = p_sample_step(s, denoise, img, 0, jax.random.key(99))
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+    def test_sample_chain_shape_and_determinism(self):
+        s = Schedule.create("linear", 6, 1e-4, 1e-2)
+        denoise = lambda x, lvl: 0.1 * x  # noqa: E731
+        out1 = sample_chain(s, denoise, (2, 8, 8, 1), jax.random.key(3))
+        out2 = sample_chain(s, denoise, (2, 8, 8, 1), jax.random.key(3))
+        assert out1.shape == (2, 8, 8, 1)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+        out3 = sample_chain(s, denoise, (2, 8, 8, 1), jax.random.key(4))
+        assert not np.allclose(np.asarray(out1), np.asarray(out3))
