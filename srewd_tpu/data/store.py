@@ -1,0 +1,228 @@
+"""WeatherStore — reader for the WeatherBench per-hour .npy layout.
+
+On-disk contract (identical to the reference converter's output,
+data/conversions/netcdf_to_npy.py:166-246, read by data/npy_reader.py):
+
+    <dataroot>/<lr|hr>/<variable>/
+        meta/metadata.json     {name, time_variate, dims, shape, coords, attrs}
+        samples/<year>/<YYYY-MM-DD-HH>.npy     (time-variate)
+        samples/constant.npy                   (constant fields, e.g. orography)
+
+Differences from the reference reader (TPU-first):
+  * returns NHWC float32 numpy ([H,W,C] per sample) instead of torch NCHW.
+  * bulk `read_many` with a thread pool — the sampling/fitting paths read
+    thousands of files; the reference loads them one python call at a time
+    (npy_reader.py:226-244).
+  * completeness check (hourly continuity) preserved (npy_reader.py:131-146).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+from datetime import datetime
+
+import numpy as np
+
+from .timeindex import DATETIME_FORMAT, HOUR, format_date, parse_date
+
+META_DIR = "meta"
+META_FILE = "metadata.json"
+SAMPLES_DIR = "samples"
+CONSTANT_FILE = "constant.npy"
+
+
+class WeatherStore:
+    """Read one WeatherBench variable directory."""
+
+    def __init__(self, path: str, domain_dimension: int = 2):
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"<{path}> is not a directory")
+        self.path = os.path.abspath(path)
+        self.domain_dimension = domain_dimension
+        meta_path = os.path.join(self.path, META_DIR, META_FILE)
+        if not os.path.isfile(meta_path):
+            raise FileNotFoundError(f"missing {meta_path}")
+        with open(meta_path) as f:
+            self.meta_data = json.load(f)
+        for c in self.meta_data.get("coords", []):
+            c["values"] = np.asarray(c["values"])
+        self.name = self.meta_data["name"]
+        self.time_variate = bool(self.meta_data["time_variate"])
+        self._constant = None
+        self.timestamps = None
+        self._files: dict | None = None
+        self._scan_samples()
+
+    # ------------------------------------------------------------------ scan
+    def _scan_samples(self) -> None:
+        samples = os.path.join(self.path, SAMPLES_DIR)
+        if not self.time_variate:
+            self._constant = self._to_nhwc(np.load(os.path.join(samples, CONSTANT_FILE)))
+            return
+        stamps = []
+        for sub in sorted(os.listdir(samples)):
+            subdir = os.path.join(samples, sub)
+            if not os.path.isdir(subdir):
+                continue
+            for f in os.listdir(subdir):
+                if not f.endswith(".npy") or f.count(".") != 1:
+                    continue
+                try:
+                    ts = np.datetime64(datetime.strptime(f[:-4], DATETIME_FORMAT))
+                except ValueError:
+                    continue
+                stamps.append(ts.astype("datetime64[h]"))
+        if not stamps:
+            raise FileNotFoundError(f"no samples under {samples}")
+        ts = np.sort(np.array(stamps, dtype="datetime64[h]"))
+        # hourly completeness (npy_reader.py:131-146)
+        expected = int((ts[-1] - ts[0]) / HOUR) + 1
+        if len(ts) != expected or not np.all(np.diff(ts) == HOUR):
+            raise ValueError(f"missing hourly samples under {samples}")
+        self.timestamps = ts
+
+    def _sample_path(self, ts: np.datetime64) -> str:
+        d = ts.astype("datetime64[h]").item()
+        return os.path.join(
+            self.path, SAMPLES_DIR, str(d.year), format_date(ts) + ".npy"
+        )
+
+    # ------------------------------------------------------------------ shape
+    def _to_nhwc(self, data: np.ndarray) -> np.ndarray:
+        """raw array -> [H, W, C] float32 (leading dims flattened to channels)."""
+        if data.ndim == self.domain_dimension:
+            return np.ascontiguousarray(data[..., None], dtype=np.float32)
+        lead = int(np.prod(data.shape[: -self.domain_dimension]))
+        h, w = data.shape[-2:]
+        chw = data.reshape(lead, h, w)
+        return np.ascontiguousarray(np.transpose(chw, (1, 2, 0)), dtype=np.float32)
+
+    @property
+    def channels(self) -> int:
+        shape = self.meta_data["shape"]
+        count = 1
+        for n in shape[: -self.domain_dimension]:
+            count *= int(n)
+        return count
+
+    @property
+    def spatial_shape(self) -> tuple[int, int]:
+        return tuple(int(n) for n in self.meta_data["shape"][-2:])
+
+    def coord_values(self, name: str) -> np.ndarray | None:
+        for c in self.meta_data.get("coords", []):
+            if c["name"] == name:
+                return c["values"]
+        return None
+
+    # ------------------------------------------------------------------- read
+    def read(self, ts) -> np.ndarray:
+        """One sample [H,W,C] float32 by timestamp (or the constant field)."""
+        if not self.time_variate:
+            return self._constant
+        return self._to_nhwc(np.load(self._sample_path(parse_date(ts))))
+
+    def read_many(self, ts_array, num_threads: int = 16) -> np.ndarray:
+        """Bulk read -> [N,H,W,C] float32, thread-pooled."""
+        if not self.time_variate:
+            return np.broadcast_to(self._constant, (len(ts_array),) + self._constant.shape)
+        ts_array = np.asarray(ts_array, dtype="datetime64[h]")
+        if len(ts_array) == 0:
+            h, w = self.spatial_shape
+            return np.empty((0, h, w, self.channels), np.float32)
+        if len(ts_array) == 1 or num_threads <= 1:
+            return np.stack([self.read(t) for t in ts_array])
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            return np.stack(list(pool.map(self.read, ts_array)))
+
+    def __len__(self) -> int:
+        return len(self.timestamps) if self.time_variate else 1
+
+
+# --------------------------------------------------------------------- writer
+def write_variable(
+    root: str,
+    variable: str,
+    data: np.ndarray,
+    timestamps,
+    lat: np.ndarray,
+    lon: np.ndarray,
+    attrs: dict | None = None,
+) -> None:
+    """Write [N,H,W] (or [N,H,W,1]) hourly fields in the store layout."""
+    base = os.path.join(root, variable)
+    os.makedirs(os.path.join(base, META_DIR), exist_ok=True)
+    os.makedirs(os.path.join(base, SAMPLES_DIR), exist_ok=True)
+    if data.ndim == 4:
+        data = data[..., 0]
+    meta = {
+        "name": variable,
+        "time_variate": True,
+        "dims": ["lat", "lon"],
+        "shape": [int(data.shape[1]), int(data.shape[2])],
+        "coords": [
+            {"name": "lat", "values": np.asarray(lat).tolist(), "dims": ["lat"]},
+            {"name": "lon", "values": np.asarray(lon).tolist(), "dims": ["lon"]},
+        ],
+        "attrs": attrs or {},
+    }
+    with open(os.path.join(base, META_DIR, META_FILE), "w") as f:
+        json.dump(meta, f)
+    for ts, field in zip(timestamps, data):
+        ts = parse_date(ts)
+        year_dir = os.path.join(base, SAMPLES_DIR, str(ts.item().year))
+        os.makedirs(year_dir, exist_ok=True)
+        np.save(os.path.join(year_dir, format_date(ts) + ".npy"), field.astype(np.float32))
+
+
+def make_synthetic_weatherbench(
+    root: str,
+    min_date: str = "2017-01-01-00",
+    max_date: str = "2017-01-03-00",
+    variables=("t2m",),
+    lr_shape: tuple[int, int] = (32, 64),
+    hr_shape: tuple[int, int] = (128, 256),
+    seed: int = 0,
+    base_kelvin: float = 285.0,
+) -> str:
+    """Generate a tiny consistent synthetic WeatherBench tree for tests/benches.
+
+    HR fields are smooth random temperature-like fields (Kelvin scale with a
+    seasonal/diurnal modulation); LR is the 4x block-mean of HR, so the
+    LR->HR relationship is learnable.
+    """
+    from .timeindex import hourly_range, months_of
+
+    rng = np.random.default_rng(seed)
+    ts = hourly_range(min_date, max_date)
+    n = len(ts)
+    hh, hw = hr_shape
+    lh, lw = lr_shape
+    months = months_of(ts).astype(np.float32)
+
+    yy = np.linspace(0, np.pi, hh)[None, :, None]
+    xx = np.linspace(0, 2 * np.pi, hw)[None, None, :]
+    season = 10.0 * np.cos((months[:, None, None] - 7.0) / 12.0 * 2 * np.pi)
+    hours = (ts.astype("datetime64[h]").astype(int) % 24).astype(np.float32)
+    diurnal = 3.0 * np.sin(hours / 24.0 * 2 * np.pi)[:, None, None]
+    smooth = rng.standard_normal((n, 8, 16)).astype(np.float32)
+    texture = np.kron(smooth, np.ones((1, hh // 8, hw // 16), np.float32))
+    hr = (
+        base_kelvin
+        + 20.0 * np.sin(yy) * np.cos(xx / 2)
+        + season
+        + diurnal
+        + 2.0 * texture
+    ).astype(np.float32)
+    lr = hr.reshape(n, lh, hh // lh, lw, hw // lw).mean(axis=(2, 4))
+
+    lat_hr = np.linspace(-90, 90, hh)
+    lon_hr = np.linspace(0, 360, hw, endpoint=False)
+    lat_lr = np.linspace(-90, 90, lh)
+    lon_lr = np.linspace(0, 360, lw, endpoint=False)
+    for var in variables:
+        write_variable(os.path.join(root, "hr"), var, hr, ts, lat_hr, lon_hr)
+        write_variable(os.path.join(root, "lr"), var, lr, ts, lat_lr, lon_lr)
+    return root

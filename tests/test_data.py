@@ -1,0 +1,228 @@
+"""Data layer tests: store, date index, scalers (Welford exactness), pipeline."""
+
+import numpy as np
+import pytest
+
+from srewd_tpu.data.pipeline import DataHandler
+from srewd_tpu.data.scalers import (
+    MonthlyScalerSet,
+    WelfordAccumulator,
+    fit_monthly_scalers,
+)
+from srewd_tpu.data.store import WeatherStore, make_synthetic_weatherbench
+from srewd_tpu.data.timeindex import (
+    format_date,
+    hourly_range,
+    month_to_group,
+    months_of,
+    parse_date,
+    select_months,
+    validate_groups,
+)
+
+
+@pytest.fixture(scope="module")
+def dataroot(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wb")
+    # 2 months spanning a year boundary exercises month subsetting/grouping
+    return make_synthetic_weatherbench(
+        str(root),
+        min_date="2016-12-25-00",
+        max_date="2017-01-08-00",
+        lr_shape=(8, 16),
+        hr_shape=(32, 64),
+    )
+
+
+class TestTimeIndex:
+    def test_parse_format_roundtrip(self):
+        ts = parse_date("2017-01-02-13")
+        assert format_date(ts) == "2017-01-02-13"
+
+    def test_hourly_range_excludes_max(self):
+        ts = hourly_range("2017-01-01-00", "2017-01-02-00")
+        assert len(ts) == 24
+        assert format_date(ts[-1]) == "2017-01-01-23"
+
+    def test_months_of(self):
+        ts = hourly_range("2016-12-31-22", "2017-01-01-02")
+        np.testing.assert_array_equal(months_of(ts), [12, 12, 1, 1])
+
+    def test_select_months(self):
+        ts = hourly_range("2016-12-30-00", "2017-01-03-00")
+        jan = select_months(ts, [1])
+        assert np.all(months_of(jan) == 1)
+        assert len(jan) == 48
+
+    def test_group_validation(self):
+        validate_groups([1, 2], [[1], [2, 3]])
+        with pytest.raises(ValueError):
+            validate_groups([1, 4], [[1], [2, 3]])
+        with pytest.raises(ValueError):
+            validate_groups([1], [[1], [1, 2]])
+        assert month_to_group([[12], [1]]) == {12: 0, 1: 1}
+
+
+class TestStore:
+    def test_scan_and_read(self, dataroot):
+        store = WeatherStore(f"{dataroot}/hr/t2m")
+        assert store.time_variate
+        assert len(store) == 14 * 24
+        x = store.read("2017-01-01-05")
+        assert x.shape == (32, 64, 1)
+        assert x.dtype == np.float32
+        assert 200 < x.mean() < 330  # Kelvin-ish
+
+    def test_read_many_matches_read(self, dataroot):
+        store = WeatherStore(f"{dataroot}/lr/t2m")
+        ts = hourly_range("2017-01-01-00", "2017-01-01-05")
+        bulk = store.read_many(ts)
+        assert bulk.shape == (5, 8, 16, 1)
+        for i, t in enumerate(ts):
+            np.testing.assert_array_equal(bulk[i], store.read(t))
+
+    def test_coords(self, dataroot):
+        store = WeatherStore(f"{dataroot}/hr/t2m")
+        assert store.coord_values("lat").shape == (32,)
+        assert store.coord_values("lon").shape == (64,)
+        assert store.channels == 1
+
+
+class TestWelford:
+    def test_exact_vs_direct(self):
+        rng = np.random.default_rng(0)
+        data = rng.standard_normal((100, 4, 6, 2)) * 7 + 3
+        acc = WelfordAccumulator(axis=(0, 1, 2))
+        for lo in range(0, 100, 13):  # uneven chunks
+            acc.update(data[lo : lo + 13])
+        mean, std = acc.finalize(unbiased=True)
+        want_mean = data.mean(axis=(0, 1, 2))
+        want_std = data.std(axis=(0, 1, 2), ddof=1)
+        np.testing.assert_allclose(mean.ravel(), want_mean, rtol=1e-12)
+        np.testing.assert_allclose(std.ravel(), want_std, rtol=1e-12)
+
+    def test_local_axes(self):
+        rng = np.random.default_rng(1)
+        data = rng.standard_normal((50, 4, 6, 1))
+        acc = WelfordAccumulator(axis=(0,))
+        acc.update(data[:20])
+        acc.update(data[20:])
+        mean, std = acc.finalize()
+        np.testing.assert_allclose(mean, data.mean(axis=0, keepdims=True)[0], rtol=1e-12)
+        np.testing.assert_allclose(std, data.std(axis=0, ddof=1, keepdims=True)[0], rtol=1e-12)
+
+
+class TestScalers:
+    def test_fit_global_per_group(self, dataroot):
+        store = WeatherStore(f"{dataroot}/hr/t2m")
+        sset = fit_monthly_scalers(
+            store, "2016-12-25-00", "2017-01-08-00", [12, 1], [[12], [1]],
+            kind="GlobalStandardScaling",
+        )
+        # direct recomputation for December
+        ts = hourly_range("2016-12-25-00", "2017-01-01-00")
+        dec = store.read_many(ts)
+        np.testing.assert_allclose(
+            sset.mean[12].ravel(), dec.mean(axis=(0, 1, 2)), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            sset.std[12].ravel(), dec.std(axis=(0, 1, 2), ddof=1), rtol=1e-4
+        )
+        # group mapping: month 1 stats differ from month 12 stats
+        assert not np.allclose(sset.mean[1], sset.mean[12])
+
+    def test_transform_inverse_roundtrip(self, dataroot):
+        store = WeatherStore(f"{dataroot}/hr/t2m")
+        sset = fit_monthly_scalers(
+            store, "2016-12-25-00", "2017-01-08-00", None,
+            [list(range(1, 13))], kind="GlobalStandardScaling",
+        )
+        batch = store.read_many(hourly_range("2016-12-26-00", "2016-12-26-04"))
+        months = np.array([12] * 4)
+        z = sset.transform(batch, months)
+        back = sset.inverse(z, months)
+        np.testing.assert_allclose(back, batch, rtol=1e-4)
+        assert abs(z.mean()) < 3.0 and z.std() < 5.0
+
+    def test_cache(self, dataroot, tmp_path):
+        store = WeatherStore(f"{dataroot}/lr/t2m")
+        kw = dict(min_date="2017-01-01-00", max_date="2017-01-05-00",
+                  months_subset=[1], groups=[[1]], cache_dir=str(tmp_path))
+        s1 = fit_monthly_scalers(store, **kw)
+        assert len(list(tmp_path.iterdir())) == 1
+        s2 = fit_monthly_scalers(store, **kw)
+        np.testing.assert_array_equal(s1.mean, s2.mean)
+
+    def test_identity(self):
+        s = MonthlyScalerSet.identity_set()
+        x = np.random.default_rng(0).standard_normal((3, 4, 4, 1)).astype(np.float32)
+        np.testing.assert_array_equal(s.transform(x, np.array([1, 2, 3])), x)
+
+
+class TestDataHandler:
+    def test_process_and_batches(self, dataroot):
+        dh = DataHandler(
+            dataroot=dataroot,
+            variables=["t2m"],
+            months_subset=[12, 1],
+            groups=[[12], [1]],
+            train_min_date="2016-12-25-00",
+            train_max_date="2017-01-05-00",
+            val_min_date="2017-01-05-00",
+            val_max_date="2017-01-08-00",
+            train_batch_size=4,
+            val_batch_size=8,
+        ).process_data()
+
+        assert dh.steps_per_epoch("train") == (11 * 24) // 4
+        b = next(dh.train_batches(epoch=0))
+        assert b["HR"].shape == (4, 32, 64, 1)
+        assert b["LR"].shape == (4, 8, 16, 1)
+        assert b["months"].shape == (4,)
+        # normalized data is roughly standard
+        assert abs(b["HR"].mean()) < 3.0
+
+        vb = next(dh.val_batches())
+        assert vb["HR"].shape == (8, 32, 64, 1)
+
+    def test_shuffle_determinism_and_epoch_variation(self, dataroot):
+        dh = DataHandler(
+            dataroot=dataroot, variables=["t2m"],
+            train_min_date="2017-01-01-00", train_max_date="2017-01-05-00",
+            val_min_date="2017-01-05-00", val_max_date="2017-01-06-00",
+            train_batch_size=4,
+        ).process_data()
+        a = next(dh.train_batches(epoch=0))["HR"]
+        b = next(dh.train_batches(epoch=0))["HR"]
+        c = next(dh.train_batches(epoch=1))["HR"]
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_get_data_by_date_and_inverse(self, dataroot):
+        dh = DataHandler(
+            dataroot=dataroot, variables=["t2m"],
+            train_min_date="2017-01-01-00", train_max_date="2017-01-05-00",
+            val_min_date="2017-01-05-00", val_max_date="2017-01-08-00",
+        ).process_data()
+        b = dh.get_data_by_date("2017-01-06-03")
+        assert b["HR"].shape[0] == 1
+        store = WeatherStore(f"{dataroot}/hr/t2m")
+        raw = store.read("2017-01-06-03")
+        inv = dh.inverse_transform({"HR": b["HR"]}, b["months"])
+        np.testing.assert_allclose(inv["HR"][0], raw, rtol=1e-4)
+
+    def test_host_sharding_partitions(self, dataroot):
+        kw = dict(
+            dataroot=dataroot, variables=["t2m"],
+            train_min_date="2017-01-01-00", train_max_date="2017-01-03-00",
+            val_min_date="2017-01-05-00", val_max_date="2017-01-06-00",
+        )
+        full = DataHandler(**kw).process_data().train_timestamps
+        parts = [
+            DataHandler(**kw, process_index=i, process_count=4)
+            .process_data()
+            .train_timestamps
+            for i in range(4)
+        ]
+        merged = np.sort(np.concatenate(parts))
+        np.testing.assert_array_equal(merged, np.sort(full))
