@@ -1,0 +1,84 @@
+"""Shared CLI plumbing for train.py / pretrain.py / sample.py."""
+
+from __future__ import annotations
+
+import logging
+
+from .configs import Config, dict2str
+from .data import DataHandler
+from .diffusion.schedule import Schedule
+from .models.factory import build_model
+from .training.optimizers import get_optimizer
+from .training.trainer import DiffusionTrainer
+from .utils.logging import setup_logger
+from .utils.seeding import set_seeds
+
+
+def build_data_handler(opt: dict, storage_root: str | None = None, **overrides) -> DataHandler:
+    d = opt["data"]
+    kw = dict(
+        dataroot=d["dataroot"],
+        variables=d["variables"],
+        months_subset=d.get("months_subset"),
+        groups=d.get("transform_groups"),
+        transformation=d.get("transformation", "GlobalStandardScaling"),
+        train_min_date=d.get("train_min_date"),
+        train_max_date=d.get("train_max_date"),
+        val_min_date=d.get("val_min_date"),
+        val_max_date=d.get("val_max_date"),
+        train_batch_size=int(d.get("batch_size", 4)),
+        val_batch_size=int(d.get("val_batch_size", 8)),
+        shuffle=bool(d.get("use_shuffle", True)),
+        storage_root=storage_root or d["dataroot"],
+        read_threads=int(d.get("num_workers", 16)),
+    )
+    kw.update(overrides)
+    return DataHandler(**kw).process_data()
+
+
+def build_trainer(opt: dict, example_batch: dict, dtype=None) -> DiffusionTrainer:
+    model = build_model(opt["model"], dtype=dtype)
+    bs = opt["model"]["beta_schedule"]
+    sched_train = Schedule.from_config(bs["train"])
+    sched_val = Schedule.from_config(bs.get("val", bs["train"]))
+    ocfg = opt["train"]["optimizer"]
+    tx = get_optimizer(ocfg.get("type", "adam"), float(ocfg.get("lr", 1e-4)))
+    ema_cfg = opt["train"].get("ema_scheduler") or {}
+    ema_enabled = bool(ema_cfg.get("enabled", False))
+    trainer = DiffusionTrainer(
+        model,
+        sched_train,
+        sched_val,
+        tx,
+        ema_decay=float(ema_cfg.get("ema_decay", 0.9999)) if ema_enabled else None,
+        ema_start=int(ema_cfg.get("step_start_ema", 0)),
+        seed=int(opt.get("seed", 0)),
+        checkpoint_dir=opt["path"].get("checkpoint"),
+    )
+    trainer.init_params(example_batch)
+
+    pre = opt["model"].get("pretrained_model") or {}
+    if pre.get("model_path") and trainer.model.encoder is not None:
+        from .training.pretrainer import load_encoder_params
+
+        trainer.params["encoder"] = load_encoder_params(pre["model_path"])
+
+    resume = opt["path"].get("resume_state")
+    if resume:
+        trainer.resume(resume)
+    return trainer
+
+
+def standard_setup(args, experiment: bool = True):
+    """Config + seeding + loggers; returns (opt, logger)."""
+    set_seeds(0)
+    cfg = Config(args.config, phase=getattr(args, "phase", None), experiment=experiment)
+    opt = cfg.get_opt()
+    if experiment:
+        setup_logger(None, opt["path"]["log"], "train", screen=True)
+        setup_logger("val", opt["path"]["log"], "val")
+    else:
+        logging.basicConfig(level=logging.INFO)
+    logger = logging.getLogger("base")
+    logger.info(dict2str(opt))
+    return opt, logger

@@ -1,0 +1,10 @@
+"""SPMD parallelism: device mesh construction and sharding rules."""
+
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
