@@ -20,8 +20,10 @@ from .unet import WeatherUNet
 from .simple_cnn import SimpleCNN
 from .rrdb import RRDBNet
 from .factory import build_model, DiffusionModel
+from .phy_conv import PhyConv
 
 __all__ = [
+    "PhyConv",
     "Block",
     "Downsample",
     "FeatureWiseAffine",

@@ -163,3 +163,66 @@ class TestSSIM:
             )[0]
         )
         assert got == pytest.approx(want, abs=2e-5)
+
+
+class TestMoments:
+    """K2M/M2K kernel<->moment conversion (reference constrain_moments.py)."""
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(3)
+        k = jnp.asarray(rng.standard_normal((4, 5, 5)), jnp.float32)
+        from srewd_tpu.ops.moments import k2m, m2k
+
+        np.testing.assert_allclose(np.asarray(m2k(k2m(k))), np.asarray(k), atol=1e-4)
+
+    def test_derivative_kernel_moments(self):
+        # the centered d/dx stencil [-1/2, 0, 1/2] (row y, col x) has moment
+        # m[0,1]=1 and all other low-order moments 0; the 5-point Laplacian
+        # has m[2,0]=m[0,2]=1 (moments scaled by 1/i! per axis).
+        from srewd_tpu.ops.moments import k2m
+
+        ddx = jnp.asarray([[0, 0, 0], [-0.5, 0, 0.5], [0, 0, 0]], jnp.float32)
+        m = np.asarray(k2m(ddx))
+        want = np.zeros((3, 3))
+        want[0, 1] = 1.0
+        np.testing.assert_allclose(m, want, atol=1e-6)
+
+        lap = jnp.asarray([[0, 1, 0], [1, -4, 1], [0, 1, 0]], jnp.float32)
+        m = np.asarray(k2m(lap))
+        want = np.zeros((3, 3))
+        want[2, 0] = want[0, 2] = 1.0
+        np.testing.assert_allclose(m, want, atol=1e-6)
+
+    def test_matches_reference_matrix_definition(self):
+        # M[i, j] = (j - (l-1)//2)^i / i!  (constrain_moments.py:31-35)
+        from math import factorial
+
+        from srewd_tpu.ops.moments import _moment_matrices
+
+        (m,), _ = _moment_matrices((5,))
+        for i in range(5):
+            for j in range(5):
+                assert m[i, j] == pytest.approx((j - 2) ** i / factorial(i))
+
+
+class TestPhyConv:
+    def test_forward_shapes_and_moments(self):
+        import jax
+
+        from srewd_tpu.models.phy_conv import PhyConv
+
+        mod = PhyConv(n_filters=3, kernel_size=5, in_channels=1, levels=2)
+        x = jnp.ones((2, 32, 64, 2), jnp.float32)
+        params = mod.init(jax.random.key(0), x)
+        out, moments = mod.apply(params, x)
+        assert out.shape == (2, 8, 16, 1)  # two bilinear halvings
+        assert moments.shape == (3, 5, 5)
+
+    def test_moment_constraint_loss_zero_at_target(self):
+        from srewd_tpu.ops.moments import m2k, moment_constraint_loss
+
+        target = np.zeros((2, 3, 3), np.float32)
+        target[0, 0, 1] = 1.0  # d/dx
+        target[1, 2, 0] = 1.0  # d2/dy2
+        kernels = m2k(jnp.asarray(target))
+        assert float(moment_constraint_loss(kernels, jnp.asarray(target))) < 1e-10
