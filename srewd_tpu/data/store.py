@@ -125,13 +125,35 @@ class WeatherStore:
         return self._to_nhwc(np.load(self._sample_path(parse_date(ts))))
 
     def read_many(self, ts_array, num_threads: int = 16) -> np.ndarray:
-        """Bulk read -> [N,H,W,C] float32, thread-pooled."""
+        """Bulk read -> [N,H,W,C] float32.
+
+        Fast path: the native fastnpy reader (srewd_tpu.native) preads all
+        files into one batch buffer in parallel C++ threads; falls back to a
+        numpy thread pool when the library or a file is unsupported.
+        """
         if not self.time_variate:
             return np.broadcast_to(self._constant, (len(ts_array),) + self._constant.shape)
         ts_array = np.asarray(ts_array, dtype="datetime64[h]")
         if len(ts_array) == 0:
             h, w = self.spatial_shape
             return np.empty((0, h, w, self.channels), np.float32)
+
+        raw_shape = tuple(int(n) for n in self.meta_data["shape"])
+        if len(ts_array) > 1 and len(raw_shape) >= self.domain_dimension:
+            from .. import native
+
+            batch = native.read_batch(
+                [self._sample_path(t) for t in ts_array], raw_shape, num_threads
+            )
+            if batch is not None:
+                if len(raw_shape) == self.domain_dimension:
+                    return batch[..., None]
+                n = batch.shape[0]
+                lead = int(np.prod(raw_shape[: -self.domain_dimension]))
+                h, w = raw_shape[-2:]
+                chw = batch.reshape(n, lead, h, w)
+                return np.ascontiguousarray(np.transpose(chw, (0, 2, 3, 1)))
+
         if len(ts_array) == 1 or num_threads <= 1:
             return np.stack([self.read(t) for t in ts_array])
         with ThreadPoolExecutor(max_workers=num_threads) as pool:

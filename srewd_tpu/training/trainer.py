@@ -32,6 +32,7 @@ from ..diffusion.schedule import Schedule
 from ..models.factory import DiffusionModel
 from ..ops.resize import bicubic_up4
 from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from ..utils.profiling import StepTimer, trace
 from .checkpoint import CheckpointManager
 from .metrics import TrainMetrics, ValidationMetrics, create_metric_dict
 
@@ -187,19 +188,37 @@ def run_training(
     full_val_freq = int(tcfg.get("full_val_freq", val_freq))
     save_freq = int(tcfg.get("save_checkpoint_freq", 10000))
 
+    # one-shot profiler capture: trace steps [profile_start, profile_start+profile_steps)
+    profile_dir = tcfg.get("profile_trace_dir")
+    profile_start = int(tcfg.get("profile_start", 10))
+    profile_steps = int(tcfg.get("profile_steps", 5))
+    profiling = False
+
     train_metrics = TrainMetrics()
+    timer = StepTimer()
+    timer.start()
     while trainer.step < n_iter:
         trainer.epoch += 1
         for batch in data_handler.train_batches(epoch=trainer.epoch):
             if trainer.step >= n_iter:
                 break
+            if profile_dir and not profiling and trainer.step == profile_start:
+                jax_trace = trace(profile_dir)
+                jax_trace.__enter__()
+                profiling = True
             loss = trainer.train_on_batch(batch)
+            timer.tick()  # train_on_batch fetches the loss, so compute is done
+            if profiling and trainer.step >= profile_start + profile_steps:
+                jax_trace.__exit__(None, None, None)
+                profiling = False
+                profile_dir = None
+                logger.info(f"Profiler trace written ({profile_steps} steps).")
             train_metrics.update({"l_pix": loss})
 
             if trainer.step % print_freq == 0:
                 logger.info(
                     f"Epoch: {trainer.epoch:5}  |  Iteration: {trainer.step:8} |"
-                    f" {train_metrics.metrics2str()}"
+                    f" {train_metrics.metrics2str()} | {timer.summary_str()}"
                 )
                 if wandb_logger:
                     wandb_logger.log_train_metrics(
