@@ -199,13 +199,23 @@ class DiffusionModel:
         cond = self.condition(params, batch)
         x_in0, kwargs = self._unet_inputs(params, batch, cond, jnp.zeros_like(cond))
 
+        # Pre-cast weights to the compute dtype ONCE, outside the scan:
+        # flax casts per-op, which inside a T-step scan re-reads the f32
+        # tree from HBM and converts every step (2x weight bandwidth).
+        unet_params = params["unet"]
+        if self.unet.dtype is not None:
+            cdt = self.unet.dtype
+            unet_params = jax.tree.map(
+                lambda x: x.astype(cdt) if x.dtype == jnp.float32 else x, unet_params
+            )
+
         def denoise_fn(x_t, noise_level):
             if self.arch == "srdiff":
                 x_in = x_t
             else:
                 x_in = jnp.concatenate([cond, x_t], axis=-1)
             return self.unet.apply(
-                {"params": params["unet"]}, x_in, noise_level, train=False, **kwargs
+                {"params": unet_params}, x_in, noise_level, train=False, **kwargs
             )
 
         img = sample_chain(schedule, denoise_fn, cond.shape, rng, clip_denoised=clip_denoised)
