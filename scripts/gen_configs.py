@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Generate the experiment-config corpus mirroring the reference's families.
+
+Reference ships 49 configs (SURVEY.md §2.2): a phydiff monthly sweep (12
+month-specialized runs), T_train x T_val ablations (100/500/1000/2000), an
+RRDB block-count sweep (8-35), and per-arch train/eval/sample examples. The
+reference's `train_subset_min/max_date` keys are dead (grep: never read by
+any code) and are intentionally not emitted.
+
+Run from the repo root:  python scripts/gen_configs.py
+"""
+
+import copy
+import json
+import os
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent / "configs" / "experiment_configs"
+
+MONTHS = [
+    "jan", "feb", "mar", "apr", "may", "jun",
+    "jul", "aug", "sep", "oct", "nov", "dec",
+]
+MONTH_NAMES = [
+    "january", "february", "march", "april", "may", "june",
+    "july", "august", "september", "october", "november", "december",
+]
+
+
+def base(name, arch, phase="train"):
+    return {
+        "name": name,
+        "phase": phase,
+        "path": {
+            "experiments_folder_path": None,
+            "log": "logs", "tb_logger": "tb_logger", "results": "results",
+            "checkpoint": "checkpoint", "resume_state": None,
+        },
+        "data": {
+            "name": "WeatherBench",
+            "dataroot": "/data/weatherbench_t2m_npy",
+            "batch_size": 4, "val_batch_size": 8, "num_workers": 16,
+            "use_shuffle": True,
+            "train_min_date": "1979-01-01-00", "train_max_date": "2016-01-01-00",
+            "transformation": "GlobalStandardScaling",
+            "months_subset": list(range(1, 13)),
+            "transform_groups": {n: [i + 1] for i, n in enumerate(MONTH_NAMES)},
+            "val_min_date": "2016-01-01-00", "val_max_date": "2017-01-01-00",
+            "variables": ["t2m"], "height": 128,
+        },
+        "model": {
+            "model_name": "diffusion", "architecture": arch,
+            "finetune_norm": False,
+            "unet": {
+                "in_channel": 2, "out_channel": 1, "inner_channel": 64,
+                "norm_groups": 32, "channel_multiplier": [1, 2, 4, 8, 8],
+                "attn_res": [16], "res_blocks": 2, "dropout": 0.2,
+            },
+            "beta_schedule": {
+                "train": {"schedule": "linear", "n_timestep": 1000,
+                          "linear_start": 1e-6, "linear_end": 1e-2},
+                "val": {"schedule": "linear", "n_timestep": 1000,
+                        "linear_start": 1e-6, "linear_end": 1e-2},
+            },
+            "diffusion": {"image_height": 128, "image_width": 256,
+                          "image_channels": 1, "channels": 1, "conditional": True},
+            "pretrained_model": {"model_path": None, "lock_weights": True},
+        },
+        "train": {
+            "save_visualizations": True, "n_iter": 190001,
+            "val_freq": 10000, "full_val_freq": 190000,
+            "save_checkpoint_freq": 10000, "print_freq": 100, "val_vis_freq": 120,
+            "optimizer": {"type": "adam", "lr": 1e-4},
+            "ema_scheduler": {"enabled": False, "step_start_ema": 5000,
+                              "update_ema_every": 1, "ema_decay": 0.9999},
+        },
+        "wandb": {"project": "srewd_tpu", "entity": None},
+    }
+
+
+def write(subdir, name, cfg):
+    d = ROOT / subdir
+    d.mkdir(parents=True, exist_ok=True)
+    with open(d / f"{name}.json", "w") as f:
+        json.dump(cfg, f, indent=2)
+
+
+def main():
+    # --- phydiff monthly sweep (12 month-specialized runs) ---
+    for i, mon in enumerate(MONTHS):
+        cfg = base(f"phydiff_{mon}_190000", "phydiff")
+        cfg["data"]["months_subset"] = [i + 1]
+        cfg["data"]["transform_groups"] = {MONTH_NAMES[i]: [i + 1]}
+        write("phydiff", f"resdiff+physics_{mon}_190000", cfg)
+
+    # --- phydiff T_train variants + T_train x T_val eval ablations ---
+    for t_train in (100, 500, 1000, 2000):
+        cfg = base(f"phydiff_T{t_train}", "phydiff")
+        cfg["model"]["beta_schedule"]["train"]["n_timestep"] = t_train
+        cfg["model"]["beta_schedule"]["val"]["n_timestep"] = t_train
+        if t_train != 1000:  # T=1000 is the train example
+            write("phydiff", f"resdiff+physics_{t_train}", cfg)
+        for t_val in (100, 500, 1000):
+            if t_val == t_train:
+                continue
+            ev = copy.deepcopy(cfg)
+            ev["name"] = f"phydiff_T{t_train}_eval_{t_val}"
+            ev["phase"] = "val"
+            ev["model"]["beta_schedule"]["val"]["n_timestep"] = t_val
+            ev["path"]["resume_state"] = (
+                f"experiments/phydiff_T{t_train}/checkpoint/I190000_E64"
+            )
+            write("phydiff", f"resdiff+physics_{t_train}_eval_{t_val}", ev)
+
+    # --- RRDB pretrain block-count sweep (pretrain.py configs) ---
+    for nb in (8, 17, 23, 25, 27, 30, 35):
+        cfg = base(f"rrdb_{nb}block", "srdiff")
+        cfg["model"]["model_name"] = "rrdb"
+        cfg["model"]["pretrained_model"] = {
+            "model_path": None, "lock_weights": False,
+            "hidden_size": 64, "num_block": nb,
+        }
+        cfg["data"]["batch_size"] = 32
+        cfg["train"]["optimizer"]["lr"] = 2e-4
+        cfg["train"]["epoch"] = 200
+        write("rrdb", f"pretrained_rrdb_{nb}block", cfg)
+
+    # --- sr3 eval ---
+    ev = base("sr3_eval", "sr3", phase="val")
+    ev["path"]["resume_state"] = "experiments/sr3_base_train/checkpoint/I190000_E64"
+    write("sr3", "sr3_eval", ev)
+
+    # --- resdiff eval ---
+    ev = base("resdiff_eval", "resdiff", phase="val")
+    ev["path"]["resume_state"] = (
+        "experiments/sr_resdiff_climate_first/checkpoint/I190000_E64"
+    )
+    write("resdiff", "resdiff_eval", ev)
+
+    # --- phydiff sample example ---
+    smp = base("phydiff_sample_example", "phydiff", phase="val")
+    smp["data"]["val_batch_size"] = 1
+    write("phydiff", "resdiff+physics_sample_example", smp)
+
+    n = sum(1 for _ in ROOT.rglob("*.json"))
+    print(f"config corpus: {n} experiment configs under {ROOT}")
+
+
+if __name__ == "__main__":
+    main()
