@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.pallas_fused import fused_groupnorm_swish
 from ..ops.resize import upsample_nearest2x
 
 Dtype = Any
@@ -105,6 +106,33 @@ class FeatureWiseAffine(nn.Module):
         return x + h
 
 
+class FusedGroupNorm(nn.Module):
+    """GroupNorm (+ optional fused Swish) through the Pallas TPU kernel.
+
+    Same params/semantics as nn.GroupNorm(num_groups, epsilon) followed by
+    swish; on TPU the normalize+affine+swish run as ONE VMEM pass
+    (ops/pallas_fused.py), elsewhere the identical pure-JAX path.
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    with_swish: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            scale = scale.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        return fused_groupnorm_swish(
+            x, scale, bias, self.num_groups, self.epsilon, self.with_swish
+        )
+
+
 class Block(nn.Module):
     """GroupNorm -> Swish -> Dropout -> Conv3x3. Reference: resnet.py:7-28."""
 
@@ -115,8 +143,9 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
-        h = swish(h)
+        h = FusedGroupNorm(
+            num_groups=self.groups, with_swish=True, dtype=self.dtype
+        )(x)
         if self.dropout > 0.0:
             h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
         h = nn.Conv(
@@ -170,7 +199,7 @@ class SelfAttention(nn.Module):
         n_head = self.n_head
         head_dim = c // n_head
 
-        norm = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=self.dtype)(x)
+        norm = FusedGroupNorm(num_groups=self.norm_groups, dtype=self.dtype)(x)
         qkv = nn.Conv(
             c * 3, (1, 1), use_bias=False, kernel_init=default_kernel_init, dtype=self.dtype
         )(norm)
@@ -201,7 +230,7 @@ class CrossAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, query_img: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
-        norm = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5, dtype=self.dtype)(x)
+        norm = FusedGroupNorm(num_groups=self.norm_groups, dtype=self.dtype)(x)
         kv = nn.Conv(
             c * 2, (1, 1), use_bias=False, kernel_init=default_kernel_init, dtype=self.dtype
         )(norm)

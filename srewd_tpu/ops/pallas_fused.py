@@ -1,0 +1,228 @@
+"""Pallas TPU kernels: fused GroupNorm(+Swish) in one VMEM pass.
+
+Motivation (SURVEY.md §2.9/§7 "performance pass"): GroupNorm is the
+bandwidth hot spot of every ResnetBlock — XLA lowers it as a stats pass
+plus an apply pass, reading the activation from HBM twice. This kernel
+keeps one sample's activation resident in VMEM, accumulates per-channel
+sums/sumsqs in float32 over row chunks, folds them into per-group
+statistics via a one-hot channel→group matmul (MXU), then normalizes,
+applies the affine and the optional Swish chunk-by-chunk, and writes once:
+1 HBM read + 1 HBM write instead of 2 reads + 1 write.
+
+Semantics match flax.linen.GroupNorm(num_groups, epsilon) followed by
+swish, with float32 statistics — pinned by tests against the pure-JAX
+reference.
+
+Training: `fused_groupnorm_swish` carries a custom VJP whose backward
+re-derives gradients from the pure-JAX implementation (recompute), so the
+kernel accelerates inference/sampling (the dominant cost, SURVEY.md §3.2)
+without a hand-written backward kernel.
+
+Fallbacks: non-TPU backends run the pure-JAX path (identical numerics);
+shapes whose in+out blocks exceed the VMEM budget fall back too.
+
+MEASURED VERDICT (v5e-1, 2026-08, in-jit serialized loop, 100 iters): XLA's
+own GN+swish fusion beats this kernel on the production shapes —
+  [8,128,256,64] bf16: xla 404us vs pallas 871us (chunked) / 905us (whole-block)
+  [8,16,32,512]  bf16: xla 343us vs pallas 342us (parity)
+  [8,128,256,64] f32:  xla 408us vs pallas 1721us
+XLA keeps the stats+apply passes near memory-bound while Mosaic's pipeline
+underutilizes the VPU at C=64 lanes. The kernel therefore DEFAULTS OFF and
+the pure-JAX path (which XLA fuses) is used; set SREWD_PALLAS_GN=1 to opt
+in (e.g. on other TPU generations where the tradeoff may differ).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+_PALLAS_GN_ENABLED = os.environ.get("SREWD_PALLAS_GN", "0") == "1"
+
+# in-block + out-block VMEM budget per grid cell, INCLUDING Mosaic's
+# double-buffering of both across grid steps (so 4x the input block bytes).
+# v5e has 128 MiB VMEM per core; we cap well below to leave scheduler room.
+_VMEM_SLAB_LIMIT = 32 * 1024 * 1024
+_VMEM_COMPILER_LIMIT = 96 * 1024 * 1024
+_MAX_ROW_CHUNK = 512
+
+
+def _pick_c_block(hw: int, c: int, cg: int, itemsize: int) -> int | None:
+    """Largest channel block fitting the VMEM budget (with double
+    buffering). Groups are independent in GroupNorm so channels may split
+    at group boundaries, but Mosaic requires the block's last dim to be a
+    multiple of 128 or the full C."""
+    candidates = [c] + [
+        cb for cb in range(c - 128, 0, -128) if c % cb == 0 and cb % cg == 0
+    ]
+    for c_block in candidates:
+        if 4 * hw * c_block * itemsize <= _VMEM_SLAB_LIMIT:
+            return c_block
+    return None
+
+
+def _pure_gn_swish(x, scale, bias, num_groups: int, eps: float, apply_swish: bool):
+    """Reference implementation (flax GroupNorm semantics, f32 stats)."""
+    b, h, w, c = x.shape
+    cg = c // num_groups
+    x32 = x.astype(jnp.float32).reshape(b, h * w, num_groups, cg)
+    mean = jnp.mean(x32, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(x32), axis=(1, 3), keepdims=True) - jnp.square(mean)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(b, h, w, c)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if apply_swish:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+def _row_chunk(hw: int) -> int:
+    rc = hw
+    while rc > _MAX_ROW_CHUNK and rc % 2 == 0:
+        rc //= 2
+    return rc
+
+
+def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int, eps: float,
+            apply_swish: bool, row_chunk: int):
+    from jax.experimental import pallas as pl
+
+    hw, c = x_ref.shape[1], x_ref.shape[2]
+    cg = c // num_groups
+    nchunks = hw // row_chunk
+
+    # --- pass 1: chunked f32 sum / sumsq per channel ---
+    def stats_body(i, acc):
+        s, sq = acc
+        xa = x_ref[0, pl.ds(i * row_chunk, row_chunk), :].astype(jnp.float32)
+        return s + jnp.sum(xa, axis=0, keepdims=True), sq + jnp.sum(
+            xa * xa, axis=0, keepdims=True
+        )
+
+    zero = jnp.zeros((1, c), jnp.float32)
+    sum_c, sumsq_c = jax.lax.fori_loop(0, nchunks, stats_body, (zero, zero))
+
+    # --- fold channels into groups with masked lane reductions.
+    # (An MXU one-hot matmul rounds the f32 sums to bf16 on v5e; a
+    # (1,C)->(G,cg) reshape is an unsupported lane->sublane cast in Mosaic.)
+    n = jnp.float32(hw * cg)
+    lane_gid = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1) // cg  # [1, C]
+    zero_c = jnp.zeros((1, c), jnp.float32)
+
+    def fold(gi, carry):
+        mu_c, inv_c = carry
+        mask = (lane_gid == gi).astype(jnp.float32)
+        s = jnp.sum(sum_c * mask, axis=1, keepdims=True)      # [1, 1]
+        sq = jnp.sum(sumsq_c * mask, axis=1, keepdims=True)
+        mean = s / n
+        var = sq / n - mean * mean
+        inv = jax.lax.rsqrt(var + eps)
+        return mu_c + mask * mean, inv_c + mask * inv
+
+    mu_c, inv_c = jax.lax.fori_loop(0, num_groups, fold, (zero_c, zero_c))
+    sc = scale_ref[:].astype(jnp.float32).reshape(1, c)
+    bi = bias_ref[:].astype(jnp.float32).reshape(1, c)
+
+    # --- pass 2: normalize + affine (+ swish), chunk-by-chunk ---
+    def apply_body(i, _):
+        sl = pl.ds(i * row_chunk, row_chunk)
+        xa = x_ref[0, sl, :].astype(jnp.float32)
+        y = (xa - mu_c) * inv_c * sc + bi
+        if apply_swish:
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0, sl, :] = y.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, apply_body, 0)
+
+
+def _pallas_gn_swish(x, scale, bias, num_groups: int, eps: float,
+                     apply_swish: bool, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x.shape
+    hw = h * w
+    cg = c // num_groups
+    c_block = _pick_c_block(hw, c, cg, x.dtype.itemsize)
+    x3 = x.reshape(b, hw, c)
+    kern = functools.partial(
+        _kernel, num_groups=c_block // cg, eps=eps, apply_swish=apply_swish,
+        row_chunk=_row_chunk(hw),
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_COMPILER_LIMIT,
+        )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        grid=(b, c // c_block),
+        in_specs=[
+            pl.BlockSpec((1, hw, c_block), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_block,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_block,), lambda i, j: (j,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hw, c_block), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **kwargs,
+    )(x3, scale, bias)
+    return out.reshape(b, h, w, c)
+
+
+def _eligible(x, num_groups: int) -> bool:
+    if x.ndim != 4:
+        return False
+    b, h, w, c = x.shape
+    hw = h * w
+    if c % num_groups or c % 8:
+        return False
+    if hw % _row_chunk(hw):
+        return False
+    cg = c // num_groups
+    return _pick_c_block(hw, c, cg, x.dtype.itemsize) is not None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_groupnorm_swish(x, scale, bias, num_groups: int = 32,
+                          eps: float = 1e-5, apply_swish: bool = True):
+    """GroupNorm + affine (+ Swish) fused into one Pallas pass on TPU.
+
+    x [B,H,W,C]; scale/bias [C]. Non-TPU backends and oversized shapes use
+    the identical pure-JAX path.
+    """
+    platform = jax.devices()[0].platform
+    if not _PALLAS_GN_ENABLED or platform != "tpu" or not _eligible(x, num_groups):
+        return _pure_gn_swish(x, scale, bias, num_groups, eps, apply_swish)
+    return _pallas_gn_swish(x, scale, bias, num_groups, eps, apply_swish,
+                            interpret=False)
+
+
+def _fwd(x, scale, bias, num_groups, eps, apply_swish):
+    y = fused_groupnorm_swish(x, scale, bias, num_groups, eps, apply_swish)
+    return y, (x, scale, bias)
+
+
+def _bwd(num_groups, eps, apply_swish, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda a, s, b: _pure_gn_swish(a, s, b, num_groups, eps, apply_swish),
+        x, scale, bias,
+    )
+    return vjp(g)
+
+
+fused_groupnorm_swish.defvjp(_fwd, _bwd)
+
+
+def pallas_gn_swish_interpret(x, scale, bias, num_groups: int = 32,
+                              eps: float = 1e-5, apply_swish: bool = True):
+    """Interpreter-mode kernel execution (for CPU parity tests)."""
+    return _pallas_gn_swish(x, scale, bias, num_groups, eps, apply_swish,
+                            interpret=True)

@@ -226,3 +226,56 @@ class TestPhyConv:
         target[1, 2, 0] = 1.0  # d2/dy2
         kernels = m2k(jnp.asarray(target))
         assert float(moment_constraint_loss(kernels, jnp.asarray(target))) < 1e-10
+
+
+class TestPallasFusedGN:
+    """Pallas GN(+Swish) kernel vs pure-JAX/flax reference (interpret mode)."""
+
+    def test_parity_various_shapes(self):
+        from srewd_tpu.ops.pallas_fused import (
+            _pure_gn_swish,
+            pallas_gn_swish_interpret,
+        )
+
+        rng = np.random.default_rng(0)
+        for (b, h, w, c, g) in [(2, 8, 16, 64, 32), (1, 4, 4, 8, 4), (3, 16, 8, 32, 8)]:
+            x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+            scale = jnp.asarray(rng.standard_normal(c), jnp.float32)
+            bias = jnp.asarray(rng.standard_normal(c), jnp.float32)
+            for sw in (True, False):
+                pure = _pure_gn_swish(x, scale, bias, g, 1e-5, sw)
+                pk = pallas_gn_swish_interpret(x, scale, bias, g, 1e-5, sw)
+                np.testing.assert_allclose(
+                    np.asarray(pk), np.asarray(pure), atol=3e-5
+                )
+
+    def test_matches_flax_groupnorm(self):
+        from flax import linen as nn
+
+        from srewd_tpu.ops.pallas_fused import pallas_gn_swish_interpret
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 8, 16, 32)), jnp.float32)
+        scale = jnp.asarray(rng.standard_normal(32), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(32), jnp.float32)
+        ref = nn.GroupNorm(num_groups=8, epsilon=1e-5).apply(
+            {"params": {"scale": scale, "bias": bias}}, x
+        )
+        got = pallas_gn_swish_interpret(x, scale, bias, 8, 1e-5, False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+    def test_grads_match_pure(self):
+        import jax
+
+        from srewd_tpu.ops.pallas_fused import (
+            _pure_gn_swish,
+            fused_groupnorm_swish,
+        )
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((2, 4, 8, 16)), jnp.float32)
+        s = jnp.ones(16, jnp.float32)
+        b = jnp.zeros(16, jnp.float32)
+        g1 = jax.grad(lambda a: jnp.sum(fused_groupnorm_swish(a, s, b, 4)))(x)
+        g2 = jax.grad(lambda a: jnp.sum(_pure_gn_swish(a, s, b, 4, 1e-5, True)))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
