@@ -95,7 +95,24 @@ def main():
     pngs = list(out_dir.rglob("*.png"))
     assert pngs, f"sample.py produced no images under {out_dir}"
 
-    print(f"E2E DRIVE OK — experiment: {exp_dirs[-1]}, {len(pngs)} images")
+    # --- pretrain.py drive: SimpleCNN, 2 epochs, result plates ---
+    pcfg = json.loads(json.dumps(cfg))
+    pcfg["name"] = "e2e_pretrain"
+    pcfg["model"] = {"name": "SimpleSR", "in_channel": 1, "out_channel": 1}
+    pcfg["train"]["epoch"] = 2
+    pcfg_path = work / "e2e_pretrain.json"
+    pcfg_path.write_text(json.dumps(pcfg, indent=2))
+    run([sys.executable, "pretrain.py", "-p", "train", "-c", str(pcfg_path),
+         "--platform", "cpu"], env=env)
+    pexp = sorted((work / "experiments" / "experiments").glob("e2e_pretrain_*"))
+    assert pexp, "no pretrain experiment dir"
+    pckpts = list((pexp[-1] / "checkpoint").glob("pretrain_*_E1"))
+    assert pckpts, f"no pretrain checkpoint under {pexp[-1]}"
+    plates = list((pexp[-1] / "results").glob("result_*.png"))
+    assert plates, f"no pretrain result plates under {pexp[-1]}"
+
+    print(f"E2E DRIVE OK — experiment: {exp_dirs[-1]}, {len(pngs)} images, "
+          f"pretrain: {len(plates)} plates")
     if not args.keep:
         import shutil
 

@@ -112,12 +112,11 @@ def main():
             )
             write("phydiff", f"resdiff+physics_{t_train}_eval_{t_val}", ev)
 
-    # --- RRDB pretrain block-count sweep (pretrain.py configs) ---
-    for nb in (8, 17, 23, 25, 27, 30, 35):
+    # --- RRDB pretrain block-count sweep (pretrain.py schema: model.name) ---
+    for nb in (8, 23, 25, 27, 30, 35):  # 17 is the committed base config
         cfg = base(f"rrdb_{nb}block", "srdiff")
-        cfg["model"]["model_name"] = "rrdb"
-        cfg["model"]["pretrained_model"] = {
-            "model_path": None, "lock_weights": False,
+        cfg["model"] = {
+            "name": "RRDBNet", "in_channel": 1, "out_channel": 1,
             "hidden_size": 64, "num_block": nb,
         }
         cfg["data"]["batch_size"] = 32

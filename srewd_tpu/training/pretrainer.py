@@ -150,6 +150,31 @@ class EncoderTrainer:
             metrics.update(inv["SR"], inv["HR"])  # pretrain.py:evaluate order
         return metrics.compute_metrics()
 
+    def save_results(self, data_handler, out_dir: str, max_batches: int = 15) -> int:
+        """IT/SR/HR result plates for the first val batches (pretrain.py:106-138)."""
+        from .visualization import ImageContainer
+
+        os.makedirs(out_dir, exist_ok=True)
+        saved = 0
+        for i, batch in enumerate(data_handler.val_batches()):
+            if i >= max_batches:
+                break
+            out = self._predict(self.params, self._put(batch["LR"]))
+            images = {
+                "SR": np.asarray(out),
+                "HR": batch["HR"],
+                "INF": np.asarray(bicubic_up4(jnp.asarray(batch["LR"]))),
+            }
+            inv = data_handler.inverse_transform(images, batch["months"])
+            fig = ImageContainer(inv, data_handler.metadata, n_images=1).make_wandb_plot()
+            fig.savefig(os.path.join(out_dir, f"result_{i}.png"), dpi=110,
+                        bbox_inches="tight")
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
+            saved += 1
+        return saved
+
 
 def run_pretraining(
     opt: dict,
@@ -175,3 +200,7 @@ def run_pretraining(
             wandb_logger.log_val_metrics(val, commit=False, step=trainer.iteration)
             wandb_logger.commit(step=trainer.iteration)
         trainer.save(epoch)
+    results_dir = opt.get("path", {}).get("results")
+    if results_dir:
+        n = trainer.save_results(data_handler, results_dir)
+        logger.info(f"Saved {n} IT/SR/HR result plates to {results_dir}.")
