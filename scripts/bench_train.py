@@ -9,9 +9,12 @@ Env knobs: BENCH_BATCH (default 16), BENCH_DTYPE (bf16|f32), BENCH_STEPS.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -111,8 +111,39 @@ def main():
     plates = list((pexp[-1] / "results").glob("result_*.png"))
     assert plates, f"no pretrain result plates under {pexp[-1]}"
 
+    # --- RRDB pretrain -> srdiff handoff (the reference's encoder workflow) ---
+    rcfg = json.loads(json.dumps(cfg))
+    rcfg["name"] = "e2e_rrdb"
+    rcfg["model"] = {"name": "RRDBNet", "in_channel": 1, "out_channel": 1,
+                     "hidden_size": 32, "num_block": 2}
+    rcfg["train"]["epoch"] = 1
+    rcfg_path = work / "e2e_rrdb.json"
+    rcfg_path.write_text(json.dumps(rcfg, indent=2))
+    run([sys.executable, "pretrain.py", "-p", "train", "-c", str(rcfg_path),
+         "--platform", "cpu"], env=env)
+    rexp = sorted((work / "experiments" / "experiments").glob("e2e_rrdb_*"))
+    rck = sorted((rexp[-1] / "checkpoint").glob("pretrain_*_E0"))
+    assert rck, "no rrdb pretrain checkpoint"
+
+    scfg = json.loads(json.dumps(cfg))
+    scfg["name"] = "e2e_srdiff"
+    scfg["model"]["architecture"] = "srdiff"
+    scfg["model"]["unet"]["in_channel"] = 1
+    scfg["model"]["pretrained_model"] = {
+        "model_path": str(rck[-1]), "lock_weights": True,
+        "hidden_size": 32, "num_block": 2,
+    }
+    scfg["train"].update(n_iter=8, val_freq=8, full_val_freq=8,
+                         save_checkpoint_freq=8, print_freq=4)
+    scfg_path = work / "e2e_srdiff.json"
+    scfg_path.write_text(json.dumps(scfg, indent=2))
+    run([sys.executable, "train.py", "-p", "train", "-c", str(scfg_path),
+         "--platform", "cpu"], env=env)
+    sexp = sorted((work / "experiments" / "experiments").glob("e2e_srdiff_*"))
+    assert sexp and list((sexp[-1] / "checkpoint").glob("I*_E*")), "srdiff run failed"
+
     print(f"E2E DRIVE OK — experiment: {exp_dirs[-1]}, {len(pngs)} images, "
-          f"pretrain: {len(plates)} plates")
+          f"pretrain: {len(plates)} plates, srdiff+rrdb handoff OK")
     if not args.keep:
         import shutil
 

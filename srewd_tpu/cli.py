@@ -59,9 +59,15 @@ def build_trainer(opt: dict, example_batch: dict, dtype=None) -> DiffusionTraine
 
     pre = opt["model"].get("pretrained_model") or {}
     if pre.get("model_path") and trainer.model.encoder is not None:
+        import jax
+
+        from .parallel.mesh import replicated_sharding
         from .training.pretrainer import load_encoder_params
 
-        trainer.params["encoder"] = load_encoder_params(pre["model_path"])
+        trainer.params["encoder"] = jax.device_put(
+            load_encoder_params(pre["model_path"]),
+            replicated_sharding(trainer.mesh),
+        )
 
     resume = opt["path"].get("resume_state")
     if resume:

@@ -249,6 +249,8 @@ def build_model(model_cfg: dict, dtype=None) -> DiffusionModel:
         image_height=int(diff_cfg.get("image_height", 128)),
         image_width=int(diff_cfg.get("image_width", 256)),
         image_channels=int(diff_cfg.get("image_channels", channels)),
+        rrdb_num_feats=int(pre_cfg.get("hidden_size", 64)),
+        rrdb_num_blocks=int(pre_cfg.get("num_block", 17)),
         dtype=dtype,
     )
 

@@ -131,10 +131,12 @@ class WeatherUNet(nn.Module):
         if uses_rrdb:
             if rrdb_feats is None:
                 raise ValueError(f"variant {self.variant} requires rrdb_feats")
-            # x4 transposed conv: hidden*(nb+1)//3 channels -> hidden, LR -> HR
-            # (srdiff/unet.py:43-45).
+            # x4 transposed conv: hidden*(nb+1)//3 channels -> trunk width,
+            # LR -> HR (srdiff/unet.py:43-45 outputs `hidden`, which its
+            # configs pin equal to inner_channel=64; we project to
+            # inner_channel so hidden != inner configs also work).
             cond = nn.ConvTranspose(
-                self.rrdb_num_feats,
+                self.inner_channel,
                 (8, 8),
                 strides=(4, 4),
                 padding="SAME",
@@ -176,16 +178,20 @@ class WeatherUNet(nn.Module):
                     with_attn=use_attn,
                     dtype=self.dtype,
                 )(x, t, train=train)
-                if uses_rrdb and down_layer_idx == 2:
-                    x = x + cond  # srdiff/unet.py:126-127
+                # RRDB cond injection: reference hardcodes downs index i==2
+                # (srdiff/unet.py:126-127) = the 2nd full-res res block with
+                # its res_blocks=2 configs, but a bare Downsample index when
+                # res_blocks==1 (shape crash). We inject at the same point
+                # for reference configs and clamp to the last full-res block
+                # otherwise.
+                if uses_rrdb and down_layer_idx == min(2, self.res_blocks):
+                    x = x + cond
                 feats.append(x)
                 feat_channels.append(channel_mult)
                 pre_channel = channel_mult
                 down_layer_idx += 1
             if not is_last:
                 x = Downsample(dtype=self.dtype)(x)
-                if uses_rrdb and down_layer_idx == 2:
-                    x = x + cond
                 if uses_ca and ca_idx < _J:
                     # skip tensor gets the HF-guided CA enhancement; the trunk
                     # continues with x unmodified (resdiff/unet.py:156-163)
