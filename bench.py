@@ -12,7 +12,7 @@ path cannot run here, so the grounded baseline is torch-CPU on the same
 machine — a cross-hardware ratio, recorded as such in BASELINE.md.
 
 Env knobs: BENCH_BATCH (default 8), BENCH_T (default 1000),
-BENCH_DTYPE (bf16|f32, default bf16), BENCH_REPEATS (default 2).
+BENCH_DTYPE (bf16|f32, default bf16), BENCH_REPEATS (default 3).
 """
 
 import json
@@ -33,7 +33,7 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     n_t = int(os.environ.get("BENCH_T", "1000"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
     dev = jax.devices()[0]

@@ -73,10 +73,13 @@ def _pure_gn_swish(x, scale, bias, num_groups: int, eps: float, apply_swish: boo
     var = jnp.mean(jnp.square(x32), axis=(1, 3), keepdims=True) - jnp.square(mean)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     y = y.reshape(b, h, w, c)
-    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    # affine in f32, then cast to the storage dtype BEFORE the swish — the
+    # activation runs at half the bytes in bf16 (measured ~5% GN-op win on
+    # v5e) and matches flax GroupNorm's cast point.
+    y = (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
     if apply_swish:
         y = y * jax.nn.sigmoid(y)
-    return y.astype(x.dtype)
+    return y
 
 
 def _row_chunk(hw: int) -> int:
