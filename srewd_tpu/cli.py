@@ -29,6 +29,8 @@ def build_data_handler(opt: dict, storage_root: str | None = None, **overrides) 
         train_batch_size=int(d.get("batch_size", 4)),
         val_batch_size=int(d.get("val_batch_size", 8)),
         shuffle=bool(d.get("use_shuffle", True)),
+        lead_time=int(d.get("lead_time", 0) or 0),
+        delays=d.get("delays"),
         storage_root=storage_root or d["dataroot"],
         read_threads=int(d.get("num_workers", 16)),
     )

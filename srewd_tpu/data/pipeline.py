@@ -60,6 +60,10 @@ class DataHandler:
     train_batch_size: int = 4
     val_batch_size: int = 8
     shuffle: bool = True
+    # forecasting offsets (TimeVariateData lead_time/delays, datasets.py:121-132;
+    # the reference's builder always passes lead_time=0 and no delays)
+    lead_time: int = 0  # hours added to every read timestamp
+    delays: list | None = None  # extra per-sample time offsets, channel-concat
     storage_root: str | None = None
     read_threads: int = 16
     seed: int = 0
@@ -76,6 +80,13 @@ class DataHandler:
     def __post_init__(self):
         if self.groups is None:
             self.groups = [list(range(1, 13))]
+        if self.delays is not None:
+            d = [int(x) for x in self.delays]
+            if 0 not in d:  # reference prepends 0 (datasets.py:126-128)
+                d = [0] + d
+            if len(d) != len(set(d)):
+                raise ValueError("delays must be unique")
+            self.delays = d
         for var in self.variables:
             self.stores[var] = {
                 t: WeatherStore(os.path.join(self.dataroot, t, var)) for t in _TYPES
@@ -114,27 +125,41 @@ class DataHandler:
         if min_date is None or max_date is None:
             return None
         ts = select_months(hourly_range(min_date, max_date), self.months_subset)
-        # intersect with every store's available range
+        # intersect with every store's available range, shifted so that every
+        # lead/delay offset stays readable (datasets.py:176-177)
+        offs = [self.lead_time + d for d in (self.delays or [0])]
+        lo_off, hi_off = min(offs + [0]), max(offs + [0])
         for var in self.variables:
             for t in _TYPES:
                 st = self.stores[var][t]
-                ts = ts[(ts >= st.timestamps[0]) & (ts <= st.timestamps[-1])]
+                ts = ts[
+                    (ts + np.timedelta64(lo_off, "h") >= st.timestamps[0])
+                    & (ts + np.timedelta64(hi_off, "h") <= st.timestamps[-1])
+                ]
         if self.process_count > 1:
             ts = ts[self.process_index :: self.process_count]
         return ts
 
     # ---------------------------------------------------------------- batches
     def assemble(self, ts_batch: np.ndarray, normalized: bool = True) -> dict:
-        months = months_of(ts_batch)
+        months = months_of(ts_batch)  # month of the BASE timestamp (datasets.py:297)
         out = {"months": months.astype(np.int32)}
+        offsets = [self.lead_time + d for d in (self.delays or [0])]
         for t, key in (("hr", "HR"), ("lr", "LR")):
-            per_var = [
-                self.stores[v][t].read_many(ts_batch, self.read_threads)
-                for v in self.variables
-            ]
-            batch = per_var[0] if len(per_var) == 1 else np.concatenate(per_var, axis=-1)
-            if normalized:
-                batch = self.batch_scalers[t].transform(batch, months)
+            per_off = []
+            for off in offsets:
+                ts_off = ts_batch + np.timedelta64(off, "h") if off else ts_batch
+                per_var = [
+                    self.stores[v][t].read_many(ts_off, self.read_threads)
+                    for v in self.variables
+                ]
+                batch = (
+                    per_var[0] if len(per_var) == 1 else np.concatenate(per_var, axis=-1)
+                )
+                if normalized:
+                    batch = self.batch_scalers[t].transform(batch, months)
+                per_off.append(batch)
+            batch = per_off[0] if len(per_off) == 1 else np.concatenate(per_off, axis=-1)
             out[key] = batch.astype(np.float32)
         return out
 

@@ -226,3 +226,82 @@ class TestDataHandler:
         ]
         merged = np.sort(np.concatenate(parts))
         np.testing.assert_array_equal(merged, np.sort(full))
+
+
+class TestLeadTimeAndDelays:
+    """Forecasting offsets (reference TimeVariateData lead_time/delays,
+    datasets.py:121-132, 176-177, 297-310; builder always passes 0/None)."""
+
+    def test_lead_time_shifts_reads(self, dataroot):
+        from srewd_tpu.data.pipeline import DataHandler
+
+        base = DataHandler(
+            dataroot=dataroot, variables=["t2m"],
+            train_min_date="2017-01-01-00", train_max_date="2017-01-03-00",
+            val_min_date="2017-01-03-00", val_max_date="2017-01-04-00",
+            train_batch_size=4, transformation="IdentityTransform",
+        ).process_data()
+        lead = DataHandler(
+            dataroot=dataroot, variables=["t2m"],
+            train_min_date="2017-01-01-00", train_max_date="2017-01-03-00",
+            val_min_date="2017-01-03-00", val_max_date="2017-01-04-00",
+            train_batch_size=4, transformation="IdentityTransform",
+            lead_time=3,
+        ).process_data()
+        ts = base.train_timestamps[:4]
+        b0 = base.assemble(ts + np.timedelta64(3, "h"))
+        b1 = lead.assemble(ts)
+        np.testing.assert_array_equal(b0["HR"], b1["HR"])
+        # months key from the BASE timestamp
+        np.testing.assert_array_equal(
+            b1["months"], base.assemble(ts)["months"]
+        )
+
+    def test_delays_concat_channels(self, dataroot):
+        from srewd_tpu.data.pipeline import DataHandler
+
+        dh = DataHandler(
+            dataroot=dataroot, variables=["t2m"],
+            train_min_date="2017-01-01-00", train_max_date="2017-01-03-00",
+            val_min_date="2017-01-03-00", val_max_date="2017-01-04-00",
+            train_batch_size=4, transformation="IdentityTransform",
+            delays=[1, 2],
+        ).process_data()
+        ts = dh.train_timestamps[:2]
+        b = dh.assemble(ts)
+        assert b["HR"].shape[-1] == 3  # delays [0, 1, 2] channel-concat
+        plain = DataHandler(
+            dataroot=dataroot, variables=["t2m"],
+            train_min_date="2017-01-01-00", train_max_date="2017-01-03-00",
+            val_min_date="2017-01-03-00", val_max_date="2017-01-04-00",
+            train_batch_size=4, transformation="IdentityTransform",
+        ).process_data()
+        np.testing.assert_array_equal(
+            b["HR"][..., 1], plain.assemble(ts + np.timedelta64(1, "h"))["HR"][..., 0]
+        )
+
+    def test_delays_must_be_unique(self, dataroot):
+        from srewd_tpu.data.pipeline import DataHandler
+
+        with pytest.raises(ValueError):
+            DataHandler(
+                dataroot=dataroot, variables=["t2m"],
+                train_min_date="2017-01-01-00", train_max_date="2017-01-03-00",
+                delays=[1, 1],
+            )
+
+    def test_index_respects_offsets(self, dataroot):
+        from srewd_tpu.data.pipeline import DataHandler
+
+        dh = DataHandler(
+            dataroot=dataroot, variables=["t2m"],
+            train_min_date="2017-01-01-00", train_max_date="2017-01-05-00",
+            val_min_date=None, val_max_date=None,
+            transformation="IdentityTransform", lead_time=6,
+        ).process_data()
+        last = dh.train_timestamps[-1] + np.timedelta64(6, "h")
+        from srewd_tpu.data.store import WeatherStore
+        import os as _os
+
+        st = WeatherStore(_os.path.join(dataroot, "hr", "t2m"))
+        assert last <= st.timestamps[-1]
