@@ -193,22 +193,14 @@ def _eligible(x, num_groups: int) -> bool:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def fused_groupnorm_swish(x, scale, bias, num_groups: int = 32,
-                          eps: float = 1e-5, apply_swish: bool = True):
-    """GroupNorm + affine (+ Swish) fused into one Pallas pass on TPU.
-
-    x [B,H,W,C]; scale/bias [C]. Non-TPU backends and oversized shapes use
-    the identical pure-JAX path.
-    """
-    platform = jax.devices()[0].platform
-    if not _PALLAS_GN_ENABLED or platform != "tpu" or not _eligible(x, num_groups):
-        return _pure_gn_swish(x, scale, bias, num_groups, eps, apply_swish)
+def _pallas_gn_swish_vjp(x, scale, bias, num_groups: int,
+                         eps: float, apply_swish: bool):
     return _pallas_gn_swish(x, scale, bias, num_groups, eps, apply_swish,
                             interpret=False)
 
 
 def _fwd(x, scale, bias, num_groups, eps, apply_swish):
-    y = fused_groupnorm_swish(x, scale, bias, num_groups, eps, apply_swish)
+    y = _pallas_gn_swish_vjp(x, scale, bias, num_groups, eps, apply_swish)
     return y, (x, scale, bias)
 
 
@@ -221,7 +213,23 @@ def _bwd(num_groups, eps, apply_swish, res, g):
     return vjp(g)
 
 
-fused_groupnorm_swish.defvjp(_fwd, _bwd)
+_pallas_gn_swish_vjp.defvjp(_fwd, _bwd)
+
+
+def fused_groupnorm_swish(x, scale, bias, num_groups: int = 32,
+                          eps: float = 1e-5, apply_swish: bool = True):
+    """GroupNorm + affine (+ Swish) — Pallas pass when opted in on TPU.
+
+    x [B,H,W,C]; scale/bias [C]. The default path is the pure-JAX
+    implementation with NATIVE XLA autodiff (no custom VJP wrapper — a
+    recompute VJP here would block XLA's fused GN backward and slow the
+    train step). The opt-in Pallas kernel carries a recompute VJP so it
+    stays trainable.
+    """
+    platform = jax.devices()[0].platform
+    if not _PALLAS_GN_ENABLED or platform != "tpu" or not _eligible(x, num_groups):
+        return _pure_gn_swish(x, scale, bias, num_groups, eps, apply_swish)
+    return _pallas_gn_swish_vjp(x, scale, bias, num_groups, eps, apply_swish)
 
 
 def pallas_gn_swish_interpret(x, scale, bias, num_groups: int = 32,
