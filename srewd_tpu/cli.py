@@ -34,6 +34,11 @@ def build_data_handler(opt: dict, storage_root: str | None = None, **overrides) 
         storage_root=storage_root or d["dataroot"],
         read_threads=int(d.get("num_workers", 16)),
     )
+    import jax as _jax
+
+    if _jax.process_count() > 1:  # per-host disjoint stride of the index
+        kw.setdefault("process_index", _jax.process_index())
+        kw.setdefault("process_count", _jax.process_count())
     kw.update(overrides)
     return DataHandler(**kw).process_data()
 
@@ -78,7 +83,19 @@ def build_trainer(opt: dict, example_batch: dict, dtype=None) -> DiffusionTraine
 
 
 def standard_setup(args, experiment: bool = True):
-    """Config + seeding + loggers; returns (opt, logger)."""
+    """Config + seeding + loggers; returns (opt, logger).
+
+    Multi-host: set SREWD_MULTIHOST=1 (with the usual JAX coordinator env)
+    to call jax.distributed.initialize(); each host then reads a disjoint
+    stride of the sample index (build_data_handler wires process_index/
+    process_count) and the SPMD mesh spans all hosts over DCN.
+    """
+    import os as _os
+
+    if _os.environ.get("SREWD_MULTIHOST") == "1":
+        import jax as _jax
+
+        _jax.distributed.initialize()
     set_seeds(0)
     cfg = Config(args.config, phase=getattr(args, "phase", None), experiment=experiment)
     opt = cfg.get_opt()

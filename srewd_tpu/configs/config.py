@@ -82,9 +82,29 @@ class Config:
         if isinstance(tg, dict):
             self.params["data"]["transform_groups"] = list(tg.values())
 
+    def _find_latest_checkpoint(self) -> str | None:
+        """Newest I{iter}_E{epoch} checkpoint across this experiment name's
+        runs — preemption auto-recovery (resume_state: "auto")."""
+        import glob
+        import re
+
+        base = self.params.get("path", {}).get("experiments_folder_path") or "."
+        pattern = os.path.join(
+            base, "experiments", f"{self.params['name']}_*", "checkpoint", "I*_E*"
+        )
+        best, best_iter = None, -1
+        for p in glob.glob(pattern):
+            m = re.match(r"I(\d+)_E(\d+)$", os.path.basename(p))
+            if m and int(m.group(1)) > best_iter:
+                best, best_iter = p, int(m.group(1))
+        return best
+
     def _handle_experiment_dirs(self) -> None:
         paths = self.params.get("path", {})
         resume = paths.get("resume_state")
+        if resume == "auto":
+            resume = self._find_latest_checkpoint()
+            paths["resume_state"] = resume  # None -> fresh run below
         if not resume:
             base = paths.get("experiments_folder_path") or "."
             self.experiments_root = os.path.join(
