@@ -12,7 +12,9 @@ path cannot run here, so the grounded baseline is torch-CPU on the same
 machine — a cross-hardware ratio, recorded as such in BASELINE.md.
 
 Env knobs: BENCH_BATCH (default 8), BENCH_T (default 1000),
-BENCH_DTYPE (bf16|f32, default bf16), BENCH_REPEATS (default 3).
+BENCH_DTYPE (bf16|f32, default bf16), BENCH_REPEATS (default 3),
+BENCH_ARCH (sr3|resdiff|phydiff, default sr3 — vs_baseline is always
+grounded on the sr3 trunk, the only variant the reference can run here).
 """
 
 import json
@@ -34,12 +36,13 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     n_t = int(os.environ.get("BENCH_T", "1000"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    arch = os.environ.get("BENCH_ARCH", "sr3")  # sr3|resdiff|phydiff
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
     dev = jax.devices()[0]
     model = build_model(
         {
-            "architecture": "sr3",
+            "architecture": arch,
             "unet": {
                 "in_channel": 2, "out_channel": 1, "inner_channel": 64,
                 "norm_groups": 32, "channel_multiplier": [1, 2, 4, 8, 8],
@@ -86,7 +89,7 @@ def main():
         vs = fields_per_sec / (ref * (1000.0 / n_t))
 
     print(json.dumps({
-        "metric": f"t2m SR fields/sec/chip ({n_t}-step DDPM, 128x256, sr3)",
+        "metric": f"t2m SR fields/sec/chip ({n_t}-step DDPM, 128x256, {arch})",
         "value": round(fields_per_sec, 4),
         "unit": "fields/sec/chip",
         "vs_baseline": round(vs, 2),
