@@ -194,12 +194,18 @@ def run_training(
     profile_steps = int(tcfg.get("profile_steps", 5))
     profiling = False
 
+    from ..data.prefetch import DevicePrefetcher
+
     train_metrics = TrainMetrics()
     timer = StepTimer()
     timer.start()
     while trainer.step < n_iter:
         trainer.epoch += 1
-        for batch in data_handler.train_batches(epoch=trainer.epoch):
+        # assemble + device_put the next batches in a background thread
+        batches = DevicePrefetcher(
+            data_handler.train_batches(epoch=trainer.epoch), trainer._device_batch
+        )
+        for batch in batches:
             if trainer.step >= n_iter:
                 break
             if profile_dir and not profiling and trainer.step == profile_start:

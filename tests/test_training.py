@@ -162,3 +162,47 @@ class TestMetricsStreaming:
         # first arg as "predicted": MR = mean(HR - SR) (train.py:100 +
         # metrics.py:188) — the sign convention is preserved exactly.
         assert m["MR"] == pytest.approx(-err.mean(), abs=1e-5)
+
+
+class TestPrefetcher:
+    def test_order_preserved(self):
+        from srewd_tpu.data.prefetch import DevicePrefetcher
+
+        items = [{"i": i} for i in range(20)]
+        out = list(DevicePrefetcher(iter(items), lambda b: {"i": b["i"] * 2}))
+        assert [o["i"] for o in out] == [2 * i for i in range(20)]
+
+    def test_exception_propagates(self):
+        from srewd_tpu.data.prefetch import DevicePrefetcher
+
+        def gen():
+            yield 1
+            raise RuntimeError("boom")
+
+        pf = DevicePrefetcher(gen(), lambda b: b)
+        it = iter(pf)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="boom"):
+            list(it)
+
+    def test_trainer_accepts_predevice_batches(self):
+        t = _trainer()
+        t.init_params(_batch(0))
+        pre = t._device_batch(_batch(1))
+        loss = t.train_on_batch(pre)  # idempotent device placement
+        assert np.isfinite(loss)
+
+
+class TestPSNRStreaming:
+    def test_streaming_equals_direct(self):
+        from srewd_tpu.training.metrics import PSNR
+
+        rng = np.random.default_rng(1)
+        t = rng.uniform(250, 300, (6, 8, 16, 1))
+        p = t + rng.standard_normal((6, 8, 16, 1))
+        m = PSNR()
+        for lo in (0, 2, 4):
+            m.update(p[lo : lo + 2], t[lo : lo + 2])
+        mse = np.mean((p - t) ** 2)
+        dr = t.max() - t.min()
+        assert m.compute() == pytest.approx(10 * np.log10(dr**2 / mse), rel=1e-6)
