@@ -95,6 +95,18 @@ def main():
     pngs = list(out_dir.rglob("*.png"))
     assert pngs, f"sample.py produced no images under {out_dir}"
 
+    # --- validation-only phase from the checkpoint (train.py -p val) ---
+    vcfg = json.loads(json.dumps(cfg))
+    vcfg["name"] = "e2e_val"
+    vcfg["path"]["resume_state"] = str(ckpts[-1])
+    vcfg_path = work / "e2e_val.json"
+    vcfg_path.write_text(json.dumps(vcfg, indent=2))
+    run([sys.executable, "train.py", "-p", "val", "-c", str(vcfg_path),
+         "--platform", "cpu"], env=env)
+    val_log = (exp_dirs[-1] / "logs" / "val.log")
+    # val phase re-derives the SAME experiment root from resume_state
+    assert val_log.exists() and "RMSE" in val_log.read_text(), "val phase wrote no metrics"
+
     # --- pretrain.py drive: SimpleCNN, 2 epochs, result plates ---
     pcfg = json.loads(json.dumps(cfg))
     pcfg["name"] = "e2e_pretrain"

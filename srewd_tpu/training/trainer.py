@@ -238,7 +238,9 @@ def run_training(
             if trainer.step % val_freq == 0:
                 full = trainer.step % full_val_freq == 0
                 run_validation(
-                    opt, data_handler, trainer, logger, wandb_logger,
+                    opt, data_handler, trainer,
+                    logging.getLogger("val"),  # metrics -> val.log (train.py:132-198)
+                    wandb_logger,
                     max_batches=None if full else 1, visualize_fn=visualize_fn,
                 )
 
@@ -263,7 +265,7 @@ def run_validation(
     use_ema: bool = False,
 ) -> dict:
     """Validation: sample, inverse-transform to Kelvin, stream metrics."""
-    logger = logger or logging.getLogger("base")
+    logger = logger or logging.getLogger("val")
     val_metrics = ValidationMetrics(create_metric_dict())
     t0 = time.time()
     for i, batch in enumerate(data_handler.val_batches()):

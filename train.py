@@ -56,7 +56,10 @@ def main():
     if args.phase == "train":
         run_training(opt, dh, trainer, logger, wandb_logger, visualize_fn=visualize_fn)
     else:
-        run_validation(opt, dh, trainer, logger, wandb_logger, visualize_fn=visualize_fn)
+        import logging
+
+        run_validation(opt, dh, trainer, logging.getLogger("val"), wandb_logger,
+                       visualize_fn=visualize_fn)
 
 
 if __name__ == "__main__":
