@@ -49,6 +49,8 @@ def main():
         out_dir = os.path.join(results_dir, str(epoch))
         os.makedirs(out_dir, exist_ok=True)
         container = ImageContainer(inversed, dh.metadata, n_images=1)
+        if args.phase == "val":
+            container.set_min_max(220, 315)  # fixed Kelvin range (train.py:178)
         fig = container.make_wandb_plot()
         wandb_logger.log_sr_hr_it_image(fig, commit=False, step=step)
         container.save_all_images(os.path.join(out_dir, f"{epoch}_{step}_1"))
