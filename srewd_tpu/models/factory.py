@@ -134,7 +134,9 @@ class DiffusionModel:
             kwargs["dwt_pyramid"] = self.unet.make_dwt_pyramid(cond)
             x_in = jnp.concatenate([cond, x_t], axis=-1)
         else:  # sr3
-            x_in = jnp.concatenate([cond, x_t], axis=-1)
+            # unconditional mode: the denoiser sees only the noisy map
+            # (diffusion.py p_losses/p_mean_variance condition_x=None path)
+            x_in = jnp.concatenate([cond, x_t], axis=-1) if self.conditional else x_t
         return x_in, kwargs
 
     # ------------------------------------------------------------------- loss
@@ -222,6 +224,32 @@ class DiffusionModel:
         if self.arch == "sr3":
             return img
         return img + cond
+
+    def sample(
+        self,
+        params: dict,
+        batch_size: int,
+        rng: jax.Array,
+        schedule: Schedule,
+        clip_denoised: bool = True,
+    ) -> jnp.ndarray:
+        """Unconditional generation (DDPM.sample, model.py:87-100).
+
+        Requires a UNet built with in_channel == image_channels
+        (diffusion.conditional == False). Fixes the reference's square-only
+        shape bug (diffusion.py:207 passes image_height for both dims).
+        """
+        if self.conditional:
+            raise ValueError("unconditional sample() requires conditional=False")
+        u = self.unet
+        shape = (batch_size, u.image_height, u.image_width, u.image_channels)
+
+        def denoise_fn(x_t, noise_level):
+            return self.unet.apply(
+                {"params": params["unet"]}, x_t, noise_level, train=False
+            )
+
+        return sample_chain(schedule, denoise_fn, shape, rng, clip_denoised=clip_denoised)
 
 
 def build_model(model_cfg: dict, dtype=None) -> DiffusionModel:

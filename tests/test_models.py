@@ -97,3 +97,22 @@ def test_locked_encoder_gets_no_grads():
     assert enc_norm == 0.0
     unet_norm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g["unet"]))
     assert unet_norm > 0.0
+
+
+def test_unconditional_sample_and_loss():
+    """DDPM.sample parity (model.py:87-100) incl. non-square shapes."""
+    unet = _unet("sr3", in_channel=C)  # denoiser sees only the noisy map
+    m = DiffusionModel(arch="sr3", unet=unet, conditional=False)
+    sched = Schedule.create("linear", n_timestep=4)
+    batch = _batch()
+    params = m.init(jax.random.key(0), batch)
+    loss = m.loss(params, batch, jax.random.key(1), sched)
+    assert np.isfinite(float(loss))
+    out = m.sample(params, 2, jax.random.key(2), sched)
+    assert out.shape == (2, H, W, C)  # height != width: square-only bug fixed
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    cond_model = _model("sr3")
+    p2 = cond_model.init(jax.random.key(0), batch)
+    with pytest.raises(ValueError):
+        cond_model.sample(p2, 2, jax.random.key(2), sched)
