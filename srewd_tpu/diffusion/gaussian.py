@@ -90,12 +90,18 @@ def sample_chain(
     key: jax.Array,
     init: Optional[jnp.ndarray] = None,
     clip_denoised: bool = True,
-) -> jnp.ndarray:
+    keep_every: Optional[int] = None,
+) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
     """Full reverse diffusion from pure noise, as a single lax.scan over T.
 
     Per-step PRNG keys are fold_in'd from `key`; the image carry is donated
     by XLA (scan carries reuse buffers), so the chain runs entirely
     on-device with zero host round-trips.
+
+    keep_every: when set, additionally returns every keep_every-th
+    intermediate image (the reference's `continous=True` mode,
+    sr3_diffusion.py sample_inter) as [T // keep_every, *shape] — collected
+    by an outer scan over segments so memory stays bounded.
     """
     k_init, k_chain = jax.random.split(key)
     img = jax.random.normal(k_init, shape) if init is None else init
@@ -107,6 +113,22 @@ def sample_chain(
         )
         return img, None
 
-    ts = jnp.arange(schedule.num_timesteps - 1, -1, -1)
-    img, _ = jax.lax.scan(step, img, ts)
-    return img
+    t_total = schedule.num_timesteps
+    ts = jnp.arange(t_total - 1, -1, -1)
+
+    if keep_every is None:
+        img, _ = jax.lax.scan(step, img, ts)
+        return img
+
+    k = int(keep_every)
+    n_seg = t_total // k
+    ts_main, ts_tail = ts[: n_seg * k].reshape(n_seg, k), ts[n_seg * k :]
+
+    def segment(carry, seg_ts):
+        out, _ = jax.lax.scan(step, carry, seg_ts)
+        return out, out
+
+    img, frames = jax.lax.scan(segment, img, ts_main)
+    for t in ts_tail:  # at most k-1 trailing steps, unrolled
+        img, _ = step(img, t)
+    return img, frames

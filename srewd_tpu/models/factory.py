@@ -191,12 +191,16 @@ class DiffusionModel:
         rng: jax.Array,
         schedule: Schedule,
         clip_denoised: bool = True,
+        keep_every: Optional[int] = None,
     ) -> jnp.ndarray:
         """Super-resolve a batch: full reverse chain as one lax.scan.
 
         Conditioning (RRDB features, DWT pyramids) is computed ONCE and
         closed over by the scan body — exact for all archs since the
         condition is constant across the chain.
+
+        keep_every: reference `continous=True` mode — additionally return
+        every keep_every-th intermediate field as [K, B, H, W, C].
         """
         cond = self.condition(params, batch)
         x_in0, kwargs = self._unet_inputs(params, batch, cond, jnp.zeros_like(cond))
@@ -220,10 +224,16 @@ class DiffusionModel:
                 {"params": unet_params}, x_in, noise_level, train=False, **kwargs
             )
 
-        img = sample_chain(schedule, denoise_fn, cond.shape, rng, clip_denoised=clip_denoised)
-        if self.arch == "sr3":
-            return img
-        return img + cond
+        out = sample_chain(
+            schedule, denoise_fn, cond.shape, rng,
+            clip_denoised=clip_denoised, keep_every=keep_every,
+        )
+        img, frames = out if keep_every is not None else (out, None)
+        if self.arch != "sr3":
+            img = img + cond
+            if frames is not None:
+                frames = frames + cond[None]
+        return img if frames is None else (img, frames)
 
     def sample(
         self,

@@ -126,3 +126,39 @@ class TestForwardReverse:
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
         out3 = sample_chain(s, denoise, (2, 8, 8, 1), jax.random.key(4))
         assert not np.allclose(np.asarray(out1), np.asarray(out3))
+
+
+class TestContinuousMode:
+    def test_keep_every_matches_plain_chain(self):
+        """Segmented collection must not change the step sequence."""
+        import jax
+
+        from srewd_tpu.diffusion.gaussian import sample_chain
+        from srewd_tpu.diffusion.schedule import Schedule
+
+        sched = Schedule.create("linear", n_timestep=10)
+
+        def mock(x, lvl):
+            return 0.1 * x + 0.05 * lvl.reshape(-1, 1, 1, 1)
+
+        key = jax.random.key(0)
+        plain = sample_chain(sched, mock, (2, 8, 16, 1), key)
+        final, frames = sample_chain(sched, mock, (2, 8, 16, 1), key, keep_every=3)
+        assert frames.shape == (3, 2, 8, 16, 1)  # 10 // 3 segments
+        np.testing.assert_allclose(np.asarray(final), np.asarray(plain), atol=1e-6)
+
+    def test_keep_every_divides_exactly(self):
+        import jax
+
+        from srewd_tpu.diffusion.gaussian import sample_chain
+        from srewd_tpu.diffusion.schedule import Schedule
+
+        sched = Schedule.create("linear", n_timestep=8)
+        key = jax.random.key(1)
+
+        def mock(x, lvl):
+            return 0.2 * x
+
+        final, frames = sample_chain(sched, mock, (1, 4, 4, 1), key, keep_every=4)
+        assert frames.shape == (2, 1, 4, 4, 1)
+        np.testing.assert_allclose(np.asarray(frames[-1]), np.asarray(final), atol=1e-6)
