@@ -216,12 +216,44 @@ class SelfAttention(nn.Module):
         return out + x
 
 
+# Cap on the materialized [B, chunk, N] attention slab (bytes, f32).
+_ATTN_SLAB_BYTES = 64 * 1024 * 1024
+
+
+def _chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float):
+    """Exact full-softmax attention, computed in query chunks.
+
+    The HF-guided CA runs at maps as large as 64x128 (8192 tokens), where a
+    monolithic [B, N, N] f32 attention matrix is ~2 GB at batch 8 — enough
+    to kill the device inside the sampling scan (the reference has the same
+    blowup, resdiff/guided_cross_attention.py:24-44). Each query chunk still
+    sees the FULL key row, so results are bitwise-equivalent to the
+    monolithic einsum; jax.checkpoint keeps training memory bounded.
+    """
+    b, n, c = q.shape
+
+    def att(qc):
+        a = jnp.einsum("bic,bjc->bij", qc, k, preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(a * scale, axis=-1).astype(qc.dtype)
+        return jnp.einsum(
+            "bij,bjc->bic", a, v, preferred_element_type=jnp.float32
+        ).astype(qc.dtype)
+
+    chunk = max(256, _ATTN_SLAB_BYTES // max(1, b * n * 4))
+    if n <= chunk:
+        return att(q)
+    att_ckpt = jax.checkpoint(att)
+    parts = [att_ckpt(q[:, lo : lo + chunk]) for lo in range(0, n, chunk)]
+    return jnp.concatenate(parts, axis=1)
+
+
 class CrossAttention(nn.Module):
     """HF-guided cross-attention: DWT high-freq image queries feature keys.
 
     Reference: resdiff/guided_cross_attention.py (HF_guided_CA) — query from
     a 1x1 no-bias projection of the wavelet image, key/value from the
     GroupNorm'd feature map, full-spatial attention, residual output.
+    Computed in query chunks at large maps (see _chunked_attention).
     """
 
     norm_groups: int = 32
@@ -239,11 +271,7 @@ class CrossAttention(nn.Module):
             c, (1, 1), use_bias=False, kernel_init=default_kernel_init, dtype=self.dtype
         )(query_img).reshape(b, h * w, c)
 
-        attn = jnp.einsum(
-            "bic,bjc->bij", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(c)
-        attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
-        out = jnp.einsum("bij,bjc->bic", attn, v, preferred_element_type=jnp.float32)
+        out = _chunked_attention(q, k, v, 1.0 / math.sqrt(c))
         out = out.astype(x.dtype).reshape(b, h, w, c)
         out = nn.Conv(c, (1, 1), kernel_init=default_kernel_init, dtype=self.dtype)(out)
         return out + x
