@@ -206,11 +206,11 @@ class SelfAttention(nn.Module):
         qkv = qkv.reshape(b, h * w, n_head, 3 * head_dim)
         q, k, v = jnp.split(qkv, 3, axis=-1)  # [B, HW, n, d]
 
-        attn = jnp.einsum(
-            "bind,bjnd->bnij", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(c)
-        attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
-        out = jnp.einsum("bnij,bjnd->bind", attn, v, preferred_element_type=jnp.float32)
+        # fold heads into batch and reuse the chunked exact attention
+        # (scale is 1/sqrt(total channels), NOT per-head dim: resnet.py:92)
+        fold = lambda t: t.transpose(0, 2, 1, 3).reshape(b * n_head, h * w, head_dim)  # noqa: E731
+        out = _chunked_attention(fold(q), fold(k), fold(v), 1.0 / math.sqrt(c))
+        out = out.reshape(b, n_head, h * w, head_dim).transpose(0, 2, 1, 3)
         out = out.astype(x.dtype).reshape(b, h, w, c)
         out = nn.Conv(c, (1, 1), kernel_init=default_kernel_init, dtype=self.dtype)(out)
         return out + x
