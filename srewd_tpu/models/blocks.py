@@ -217,6 +217,9 @@ class SelfAttention(nn.Module):
 
 
 # Cap on the materialized [B, chunk, N] attention slab (bytes, f32).
+# Empirically pinned on v5e-1: 64 MB (256-row chunks at the 8192-token map,
+# batch 8) compiles and runs inside the sampling scan; 256 MB chunks bring
+# back the device fault the chunking exists to fix. Keep at 64 MB.
 _ATTN_SLAB_BYTES = 64 * 1024 * 1024
 
 
