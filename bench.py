@@ -36,15 +36,17 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     n_t = int(os.environ.get("BENCH_T", "1000"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    arch = os.environ.get("BENCH_ARCH", "sr3")  # sr3|resdiff|phydiff
+    arch = os.environ.get("BENCH_ARCH", "sr3")  # any of the five variants
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
     dev = jax.devices()[0]
+    # srdiff's denoiser sees only the noisy map (in_channel = channels)
+    in_ch = 1 if arch == "srdiff" else 2
     model = build_model(
         {
             "architecture": arch,
             "unet": {
-                "in_channel": 2, "out_channel": 1, "inner_channel": 64,
+                "in_channel": in_ch, "out_channel": 1, "inner_channel": 64,
                 "norm_groups": 32, "channel_multiplier": [1, 2, 4, 8, 8],
                 "attn_res": [16], "res_blocks": 2, "dropout": 0.0,
             },
@@ -52,6 +54,9 @@ def main():
                 "image_height": 128, "image_width": 256,
                 "image_channels": 1, "channels": 1, "conditional": True,
             },
+            # srdiff/physrdiff build their RRDB encoder from this section
+            "pretrained_model": {"model_path": None, "lock_weights": True,
+                                 "hidden_size": 64, "num_block": 17},
         },
         dtype=dtype,
     )
