@@ -52,6 +52,14 @@ def build_trainer(opt: dict, example_batch: dict, dtype=None) -> DiffusionTraine
     tx = get_optimizer(ocfg.get("type", "adam"), float(ocfg.get("lr", 1e-4)))
     ema_cfg = opt["train"].get("ema_scheduler") or {}
     ema_enabled = bool(ema_cfg.get("enabled", False))
+    dcfg = opt["model"].get("diffusion") or {}
+    sampler_kwargs = {}
+    if dcfg.get("sampler"):  # config extension: "ddpm" (default) or "ddim"
+        sampler_kwargs = {
+            "sampler": dcfg["sampler"],
+            "ddim_steps": int(dcfg.get("ddim_steps", 50)),
+            "ddim_eta": float(dcfg.get("ddim_eta", 0.0)),
+        }
     trainer = DiffusionTrainer(
         model,
         sched_train,
@@ -61,6 +69,7 @@ def build_trainer(opt: dict, example_batch: dict, dtype=None) -> DiffusionTraine
         ema_start=int(ema_cfg.get("step_start_ema", 0)),
         seed=int(opt.get("seed", 0)),
         checkpoint_dir=opt["path"].get("checkpoint"),
+        sampler_kwargs=sampler_kwargs,
     )
     trainer.init_params(example_batch)
 

@@ -42,7 +42,12 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..diffusion.gaussian import draw_time_and_gamma, q_sample, sample_chain
+from ..diffusion.gaussian import (
+    ddim_sample_chain,
+    draw_time_and_gamma,
+    q_sample,
+    sample_chain,
+)
 from ..diffusion.schedule import Schedule
 from ..ops.resize import bicubic_up4
 from .rrdb import RRDBNet
@@ -192,6 +197,9 @@ class DiffusionModel:
         schedule: Schedule,
         clip_denoised: bool = True,
         keep_every: Optional[int] = None,
+        sampler: str = "ddpm",
+        ddim_steps: int = 50,
+        ddim_eta: float = 0.0,
     ) -> jnp.ndarray:
         """Super-resolve a batch: full reverse chain as one lax.scan.
 
@@ -201,6 +209,8 @@ class DiffusionModel:
 
         keep_every: reference `continous=True` mode — additionally return
         every keep_every-th intermediate field as [K, B, H, W, C].
+        sampler: "ddpm" (reference semantics) or "ddim"
+        (arXiv:2010.02502 sub-sequence sampler; `ddim_steps`, `ddim_eta`).
         """
         cond = self.condition(params, batch)
         x_in0, kwargs = self._unet_inputs(params, batch, cond, jnp.zeros_like(cond))
@@ -224,11 +234,17 @@ class DiffusionModel:
                 {"params": unet_params}, x_in, noise_level, train=False, **kwargs
             )
 
-        out = sample_chain(
-            schedule, denoise_fn, cond.shape, rng,
-            clip_denoised=clip_denoised, keep_every=keep_every,
-        )
-        img, frames = out if keep_every is not None else (out, None)
+        if sampler == "ddim":
+            img, frames = ddim_sample_chain(
+                schedule, denoise_fn, cond.shape, rng,
+                steps=ddim_steps, eta=ddim_eta, clip_denoised=clip_denoised,
+            ), None
+        else:
+            out = sample_chain(
+                schedule, denoise_fn, cond.shape, rng,
+                clip_denoised=clip_denoised, keep_every=keep_every,
+            )
+            img, frames = out if keep_every is not None else (out, None)
         if self.arch != "sr3":
             img = img + cond
             if frames is not None:

@@ -49,7 +49,10 @@ class DiffusionTrainer:
         ema_start: int = 0,
         seed: int = 0,
         checkpoint_dir: Optional[str] = None,
+        sampler_kwargs: Optional[dict] = None,
     ):
+        # e.g. {"sampler": "ddim", "ddim_steps": 50, "ddim_eta": 0.0}
+        self.sampler_kwargs = dict(sampler_kwargs or {})
         self.model = model
         self.schedule_train = schedule_train
         self.schedule_val = schedule_val
@@ -83,11 +86,13 @@ class DiffusionTrainer:
         def ema_step(ema, params, decay):
             return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay), ema, params)
 
+        sampler_kwargs = self.sampler_kwargs
+
         def make_sample_fn(schedule):
             @jax.jit
             def sample_step(params, hr, lr, months, key):
                 batch = {"HR": hr, "LR": lr, "SR": bicubic_up4(lr), "months": months}
-                return model.generate_sr(params, batch, key, schedule)
+                return model.generate_sr(params, batch, key, schedule, **sampler_kwargs)
 
             return sample_step
 

@@ -162,3 +162,78 @@ class TestContinuousMode:
         final, frames = sample_chain(sched, mock, (1, 4, 4, 1), key, keep_every=4)
         assert frames.shape == (2, 1, 4, 4, 1)
         np.testing.assert_allclose(np.asarray(frames[-1]), np.asarray(final), atol=1e-6)
+
+
+class TestDDIM:
+    """DDIM sub-sequence sampler (arXiv:2010.02502)."""
+
+    def _perfect_denoiser(self, x0):
+        """Oracle eps from the conditioning level: lvl == sqrt(acp[tau])."""
+
+        def fn(x, lvl):
+            a = (lvl**2).reshape(-1, 1, 1, 1)
+            return (x - jnp.sqrt(a) * x0) / jnp.sqrt(1.0 - a)
+
+        return fn
+
+    def test_recovers_x0_with_oracle_denoiser(self):
+        import jax
+
+        from srewd_tpu.diffusion.gaussian import ddim_sample_chain
+        from srewd_tpu.diffusion.schedule import Schedule
+
+        sched = Schedule.create("linear", n_timestep=100,
+                                linear_start=1e-4, linear_end=2e-2)
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 8, 16, 1)), jnp.float32)
+        for steps in (100, 10, 3):
+            out = ddim_sample_chain(
+                sched, self._perfect_denoiser(x0), x0.shape,
+                jax.random.key(1), steps=steps, eta=0.0,
+            )
+            np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                                       atol=2e-3, err_msg=f"steps={steps}")
+
+    def test_eta0_deterministic_in_chain_noise(self):
+        import jax
+
+        from srewd_tpu.diffusion.gaussian import ddim_sample_chain
+        from srewd_tpu.diffusion.schedule import Schedule
+
+        sched = Schedule.create("linear", n_timestep=20)
+
+        def mock(x, lvl):
+            return 0.1 * x
+
+        # different keys -> different init noise, but split the key so
+        # init matches: same key must give identical output; eta>0 with
+        # same key also identical (keys folded) — determinism check only.
+        a = ddim_sample_chain(sched, mock, (1, 4, 8, 1), jax.random.key(5), steps=7)
+        b = ddim_sample_chain(sched, mock, (1, 4, 8, 1), jax.random.key(5), steps=7)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_model_api_and_throughput_ratio(self):
+        import jax
+
+        from srewd_tpu.diffusion.schedule import Schedule
+        from srewd_tpu.models.factory import DiffusionModel
+        from srewd_tpu.models.unet import WeatherUNet
+        from srewd_tpu.ops.resize import bicubic_up4
+
+        unet = WeatherUNet(variant="sr3", out_channel=1, inner_channel=8,
+                           norm_groups=4, channel_mults=(1, 2), attn_res=(8,),
+                           res_blocks=1, image_height=16, image_width=32,
+                           image_channels=1)
+        m = DiffusionModel(arch="sr3", unet=unet)
+        sched = Schedule.create("linear", n_timestep=50)
+        rng = np.random.default_rng(1)
+        batch = {
+            "HR": jnp.asarray(rng.standard_normal((2, 16, 32, 1)), jnp.float32),
+            "LR": jnp.asarray(rng.standard_normal((2, 4, 8, 1)), jnp.float32),
+        }
+        batch["SR"] = bicubic_up4(batch["LR"])
+        p = m.init(jax.random.key(0), batch)
+        out = m.generate_sr(p, batch, jax.random.key(2), sched,
+                            sampler="ddim", ddim_steps=10)
+        assert out.shape == batch["HR"].shape
+        assert bool(jnp.all(jnp.isfinite(out)))
