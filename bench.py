@@ -67,10 +67,14 @@ def main():
     lr = jnp.asarray(rng.standard_normal((batch, 32, 64, 1)), jnp.float32)
     params = jax.device_put(model.init(jax.random.key(0), {"HR": hr, "LR": lr}), dev)
 
+    sampler = os.environ.get("BENCH_SAMPLER", "ddpm")  # ddpm|ddim
+    ddim_steps = int(os.environ.get("BENCH_DDIM_STEPS", "50"))
+    skw = {"sampler": "ddim", "ddim_steps": ddim_steps} if sampler == "ddim" else {}
+
     @jax.jit
     def sample(params, hr, lr, key):
         batch_d = {"HR": hr, "LR": lr, "SR": bicubic_up4(lr)}
-        return model.generate_sr(params, batch_d, key, schedule)
+        return model.generate_sr(params, batch_d, key, schedule, **skw)
 
     key = jax.random.key(1)
     sample(params, hr, lr, key).block_until_ready()  # compile + warmup
@@ -93,8 +97,9 @@ def main():
         # scale reference to the benched T (per-step cost is constant)
         vs = fields_per_sec / (ref * (1000.0 / n_t))
 
+    tag = f"{ddim_steps}-step DDIM(T={n_t})" if sampler == "ddim" else f"{n_t}-step DDPM"
     print(json.dumps({
-        "metric": f"t2m SR fields/sec/chip ({n_t}-step DDPM, 128x256, {arch})",
+        "metric": f"t2m SR fields/sec/chip ({tag}, 128x256, {arch})",
         "value": round(fields_per_sec, 4),
         "unit": "fields/sec/chip",
         "vs_baseline": round(vs, 2),
