@@ -136,6 +136,16 @@ def main():
     )
     write("resdiff", "resdiff_eval", ev)
 
+    # --- DDIM fast-sampling evals (beyond-reference, arXiv:2010.02502) ---
+    for steps in (25, 50, 100):
+        ev = base(f"phydiff_ddim{steps}_eval", "phydiff", phase="val")
+        ev["model"]["diffusion"].update(sampler="ddim", ddim_steps=steps,
+                                        ddim_eta=0.0)
+        ev["path"]["resume_state"] = (
+            "experiments/phydiff_T1000/checkpoint/I190000_E64"
+        )
+        write("phydiff", f"resdiff+physics_ddim{steps}_eval", ev)
+
     # --- phydiff sample example ---
     smp = base("phydiff_sample_example", "phydiff", phase="val")
     smp["data"]["val_batch_size"] = 1
