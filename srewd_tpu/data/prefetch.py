@@ -25,23 +25,47 @@ class DevicePrefetcher:
         self._put = put_fn
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._err: BaseException | None = None
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
+
+    def _enqueue(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _fill(self):
         try:
             for b in self._src:
-                self._q.put(self._put(b))
+                if not self._enqueue(self._put(b)):
+                    return  # consumer closed early
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:
-            self._q.put(_SENTINEL)
+            self._enqueue(_SENTINEL)
+
+    def close(self) -> None:
+        """Unblock and join the producer (safe after partial consumption)."""
+        self._stop.set()
+        while True:  # drain so a blocked put can finish
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=5)
 
     def __iter__(self) -> Iterator:
-        while True:
-            item = self._q.get()
-            if item is _SENTINEL:
-                if self._err is not None:
-                    raise self._err
-                return
-            yield item
+        try:
+            while True:
+                item = self._q.get()
+                if item is _SENTINEL:
+                    if self._err is not None:
+                        raise self._err
+                    return
+                yield item
+        finally:
+            self.close()

@@ -185,6 +185,24 @@ class TestPrefetcher:
         with pytest.raises(RuntimeError, match="boom"):
             list(it)
 
+    def test_early_break_stops_producer(self):
+        import threading
+        import time as _time
+
+        from srewd_tpu.data.prefetch import DevicePrefetcher
+
+        def slow_gen():
+            for i in range(100):
+                yield {"i": i}
+
+        pf = DevicePrefetcher(slow_gen(), lambda b: b, depth=2)
+        for j, _ in enumerate(pf):
+            if j == 3:
+                break  # GeneratorExit -> close()
+        _time.sleep(0.3)
+        assert not pf._thread.is_alive()
+        assert threading.active_count() < 20
+
     def test_trainer_accepts_predevice_batches(self):
         t = _trainer()
         t.init_params(_batch(0))
@@ -206,3 +224,4 @@ class TestPSNRStreaming:
         mse = np.mean((p - t) ** 2)
         dr = t.max() - t.min()
         assert m.compute() == pytest.approx(10 * np.log10(dr**2 / mse), rel=1e-6)
+
