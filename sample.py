@@ -26,6 +26,10 @@ def main():
     parser.add_argument("-cm", "--cmap", type=str, default="heat_vibrant")
     parser.add_argument("-o", "--output", type=str, default="samples_out")
     parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument("--sampler", type=str, choices=["ddpm", "ddim"], default=None,
+                        help="override model.diffusion.sampler (ddim = fast)")
+    parser.add_argument("--ddim-steps", type=int, default=50)
+    parser.add_argument("--ddim-eta", type=float, default=0.0)
     args = parser.parse_args()
 
     if args.platform:
@@ -69,6 +73,11 @@ def main():
 
     logger.info("Creating datasets.")
     dh = build_data_handler(opt, **overrides)
+
+    if args.sampler:
+        opt["model"].setdefault("diffusion", {}).update(
+            sampler=args.sampler, ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta
+        )
 
     batch = dh.get_data_by_date(args.date) if args.date else next(iter(dh.val_batches()))
     trainer = build_trainer(opt, batch)

@@ -95,6 +95,12 @@ def main():
     pngs = list(out_dir.rglob("*.png"))
     assert pngs, f"sample.py produced no images under {out_dir}"
 
+    # --- DDIM fast sampling through the CLI flag ---
+    run([sys.executable, "sample.py", "-c", str(cfg_path), "-m", str(ckpts[-1]),
+         "-d", "2017-01-05-00", "-o", str(work / "samples_ddim"),
+         "--sampler", "ddim", "--ddim-steps", "10", "--platform", "cpu"], env=env)
+    assert list((work / "samples_ddim").rglob("*.png")), "ddim sample produced no images"
+
     # --- validation-only phase from the checkpoint (train.py -p val) ---
     vcfg = json.loads(json.dumps(cfg))
     vcfg["name"] = "e2e_val"
