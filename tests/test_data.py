@@ -305,3 +305,38 @@ class TestLeadTimeAndDelays:
 
         st = WeatherStore(_os.path.join(dataroot, "hr", "t2m"))
         assert last <= st.timestamps[-1]
+
+
+class TestMultiVariable:
+    """Channel-wise variable concat in config order (_form_batch parity)."""
+
+    def test_two_variables_concat_and_inverse(self, tmp_path):
+        from srewd_tpu.data.pipeline import DataHandler
+        from srewd_tpu.data.store import make_synthetic_weatherbench
+
+        root = make_synthetic_weatherbench(
+            str(tmp_path / "wb2"), "2017-01-01-00", "2017-01-03-00",
+            variables=("t2m", "z500"), lr_shape=(8, 16), hr_shape=(16, 32),
+        )
+        dh = DataHandler(
+            dataroot=root, variables=["t2m", "z500"],
+            train_min_date="2017-01-01-00", train_max_date="2017-01-02-00",
+            val_min_date="2017-01-02-00", val_max_date="2017-01-03-00",
+            train_batch_size=4,
+        ).process_data()
+        b = next(iter(dh.train_batches(0)))
+        assert b["HR"].shape[-1] == 2 and b["LR"].shape[-1] == 2
+
+        # channel order == config order
+        dh1 = DataHandler(
+            dataroot=root, variables=["t2m"],
+            train_min_date="2017-01-01-00", train_max_date="2017-01-02-00",
+            val_min_date="2017-01-02-00", val_max_date="2017-01-03-00",
+            train_batch_size=4,
+        ).process_data()
+        b1 = next(iter(dh1.train_batches(0)))
+        np.testing.assert_allclose(b["HR"][..., :1], b1["HR"], rtol=1e-6)
+
+        # inverse restores Kelvin for both channels
+        inv = dh.inverse_transform({"HR": b["HR"]}, b["months"])
+        assert 200 < float(np.mean(inv["HR"])) < 350
