@@ -28,14 +28,15 @@ def main():
     from srewd_tpu.training.trainer import DiffusionTrainer
 
     batch = int(os.environ.get("BENCH_BATCH", "16"))
+    arch = os.environ.get("BENCH_ARCH", "sr3")
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
     model = build_model(
         {
-            "architecture": "sr3",
+            "architecture": arch,
             "unet": {
-                "in_channel": 2, "out_channel": 1, "inner_channel": 64,
+                "in_channel": 1 if arch == "srdiff" else 2, "out_channel": 1, "inner_channel": 64,
                 "norm_groups": 32, "channel_multiplier": [1, 2, 4, 8, 8],
                 "attn_res": [16], "res_blocks": 2, "dropout": 0.0,
             },
@@ -43,6 +44,8 @@ def main():
                 "image_height": 128, "image_width": 256,
                 "image_channels": 1, "channels": 1, "conditional": True,
             },
+            "pretrained_model": {"model_path": None, "lock_weights": True,
+                                 "hidden_size": 64, "num_block": 17},
         },
         dtype=dtype,
     )
@@ -71,7 +74,7 @@ def main():
     dt = (time.perf_counter() - t0) / steps
 
     print(json.dumps({
-        "metric": f"train steps/sec/chip (sr3 128x256, batch {batch})",
+        "metric": f"train steps/sec/chip ({arch} 128x256, batch {batch})",
         "value": round(1.0 / dt, 3),
         "unit": "steps/sec/chip",
         "samples_per_sec": round(batch / dt, 2),
