@@ -340,3 +340,40 @@ class TestMultiVariable:
         # inverse restores Kelvin for both channels
         inv = dh.inverse_transform({"HR": b["HR"]}, b["months"])
         assert 200 < float(np.mean(inv["HR"])) < 350
+
+
+class TestGrainPipeline:
+    """Optional grain backend must match DataHandler batching semantics."""
+
+    def _dh(self, dataroot):
+        from srewd_tpu.data.pipeline import DataHandler
+
+        return DataHandler(
+            dataroot=dataroot, variables=["t2m"],
+            train_min_date="2017-01-01-00", train_max_date="2017-01-03-00",
+            val_min_date="2017-01-03-00", val_max_date="2017-01-04-00",
+            train_batch_size=4, val_batch_size=4, shuffle=False,
+        ).process_data()
+
+    def test_matches_datahandler_batches(self, dataroot):
+        pytest.importorskip("grain")
+        from srewd_tpu.data.grain_pipeline import grain_batches
+
+        dh = self._dh(dataroot)
+        ours = list(dh.val_batches())
+        theirs = list(grain_batches(dh, split="val", worker_count=0))
+        assert len(ours) == len(theirs)
+        for a, b in zip(ours, theirs):
+            np.testing.assert_allclose(a["HR"], b["HR"], rtol=1e-6)
+            np.testing.assert_allclose(a["LR"], b["LR"], rtol=1e-6)
+            np.testing.assert_array_equal(a["months"], b["months"])
+
+    def test_shuffle_varies_by_epoch(self, dataroot):
+        pytest.importorskip("grain")
+        from srewd_tpu.data.grain_pipeline import grain_batches
+
+        dh = self._dh(dataroot)
+        dh.shuffle = True
+        e0 = next(iter(grain_batches(dh, epoch=0)))["HR"]
+        e1 = next(iter(grain_batches(dh, epoch=1)))["HR"]
+        assert not np.allclose(e0, e1)
