@@ -76,14 +76,19 @@ def main():
         batch_d = {"HR": hr, "LR": lr, "SR": bicubic_up4(lr)}
         return model.generate_sr(params, batch_d, key, schedule, **skw)
 
+    def run_once(k):
+        # value fetch forces completion: the axon remote backend's
+        # block_until_ready does not reliably wait
+        out = sample(params, hr, lr, k)
+        return float(jnp.sum(out.astype(jnp.float32)))
+
     key = jax.random.key(1)
-    sample(params, hr, lr, key).block_until_ready()  # compile + warmup
+    run_once(key)  # compile + warmup
 
     times = []
     for i in range(repeats):
-        k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
-        sample(params, hr, lr, k).block_until_ready()
+        run_once(jax.random.fold_in(key, i))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     fields_per_sec = batch / dt
@@ -107,4 +112,9 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as e:  # one retry for transient remote-TPU faults
+        print(f"bench attempt 1 failed ({type(e).__name__}); retrying once",
+              file=sys.stderr)
+        sys.exit(main())
