@@ -20,11 +20,14 @@ from typing import Iterator
 
 import numpy as np
 
-from .timeindex import months_of
-
 
 class _SampleSource:
-    """grain RandomAccessDataSource over a DataHandler's timestamp index."""
+    """grain RandomAccessDataSource over a DataHandler's timestamp index.
+
+    Delegates to DataHandler.assemble so every batching semantic
+    (normalization, variable concat, lead_time/delays offsets) stays
+    identical to the in-process pipeline by construction.
+    """
 
     def __init__(self, handler, timestamps: np.ndarray):
         self._h = handler
@@ -34,17 +37,12 @@ class _SampleSource:
         return len(self._ts)
 
     def __getitem__(self, idx: int) -> dict:
-        ts = self._ts[idx : idx + 1]
-        month = months_of(ts).astype(np.int32)[0]
-        out = {"months": month}
-        for t, key in (("hr", "HR"), ("lr", "LR")):
-            per_var = [
-                self._h.stores[v][t].read_many(ts, 1) for v in self._h.variables
-            ]
-            batch = per_var[0] if len(per_var) == 1 else np.concatenate(per_var, -1)
-            batch = self._h.batch_scalers[t].transform(batch, months_of(ts))
-            out[key] = batch[0].astype(np.float32)
-        return out
+        one = self._h.assemble(self._ts[idx : idx + 1])
+        return {
+            "HR": one["HR"][0],
+            "LR": one["LR"][0],
+            "months": one["months"][0],
+        }
 
 
 def grain_batches(

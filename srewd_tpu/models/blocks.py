@@ -242,7 +242,10 @@ def _chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: fl
             "bij,bjc->bic", a, v, preferred_element_type=jnp.float32
         ).astype(qc.dtype)
 
-    chunk = max(256, _ATTN_SLAB_BYTES // max(1, b * n * 4))
+    # the cap is effectively hard (4x bigger slabs fault the device); the
+    # small floor only bounds graph size and can exceed the cap marginally
+    # at shapes far beyond any supported config (b*n > 1M tokens)
+    chunk = max(64, _ATTN_SLAB_BYTES // max(1, b * n * 4))
     if n <= chunk:
         return att(q)
     att_ckpt = jax.checkpoint(att)

@@ -226,7 +226,8 @@ class DiffusionModel:
             )
 
         def denoise_fn(x_t, noise_level):
-            if self.arch == "srdiff":
+            # mirror _unet_inputs: srdiff and unconditional sr3 see only x_t
+            if self.arch == "srdiff" or not self.conditional:
                 x_in = x_t
             else:
                 x_in = jnp.concatenate([cond, x_t], axis=-1)

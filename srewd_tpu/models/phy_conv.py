@@ -56,9 +56,11 @@ class PhyConv(nn.Module):
                 feature_group_count=self.in_channels,
             )
 
-        out = stencil_conv(img)
+        # only the coarsest pyramid response is consumed (the reference also
+        # discards the finer levels, phydiff/unet.py:47-55 — its full-res
+        # conv is dead compute we skip)
         for _ in range(self.levels):
             img = resize2d(img, (img.shape[1] // 2, img.shape[2] // 2), "bilinear")
-            out = stencil_conv(img)
+        out = stencil_conv(img)
         out = nn.Conv(1, (1, 1), kernel_init=default_kernel_init, dtype=self.dtype)(out)
         return out, k2m(kernels)

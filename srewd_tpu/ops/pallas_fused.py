@@ -55,8 +55,12 @@ def _pick_c_block(hw: int, c: int, cg: int, itemsize: int) -> int | None:
     buffering). Groups are independent in GroupNorm so channels may split
     at group boundaries, but Mosaic requires the block's last dim to be a
     multiple of 128 or the full C."""
+    # smaller candidates must themselves be multiples of 128 (Mosaic's
+    # last-dim block constraint), divide C, and respect group boundaries
     candidates = [c] + [
-        cb for cb in range(c - 128, 0, -128) if c % cb == 0 and cb % cg == 0
+        cb
+        for cb in range((c // 128) * 128, 0, -128)
+        if cb < c and cb % 128 == 0 and c % cb == 0 and cb % cg == 0
     ]
     for c_block in candidates:
         if 4 * hw * c_block * itemsize <= _VMEM_SLAB_LIMIT:

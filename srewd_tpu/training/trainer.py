@@ -146,11 +146,14 @@ class DiffusionTrainer:
 
     def _device_batch(self, batch: dict) -> dict:
         sh = batch_sharding(self.mesh)
-        return {
-            "HR": jax.device_put(jnp.asarray(batch["HR"]), sh),
-            "LR": jax.device_put(jnp.asarray(batch["LR"]), sh),
-            "months": jax.device_put(jnp.asarray(batch["months"]), sh),
-        }
+
+        def put(v):
+            # prefetched batches are already sharded — skip the re-put
+            if isinstance(v, jax.Array) and v.sharding == sh:
+                return v
+            return jax.device_put(jnp.asarray(v), sh)
+
+        return {k: put(batch[k]) for k in ("HR", "LR", "months")}
 
     # ------------------------------------------------------------------ steps
     def train_on_batch(self, batch: dict) -> float:
@@ -213,13 +216,14 @@ def run_training(
         for batch in batches:
             if trainer.step >= n_iter:
                 break
-            if profile_dir and not profiling and trainer.step == profile_start:
+            if profile_dir and not profiling and trainer.step >= profile_start:
                 jax_trace = trace(profile_dir)
                 jax_trace.__enter__()
                 profiling = True
+                profile_end = trainer.step + profile_steps
             loss = trainer.train_on_batch(batch)
             timer.tick()  # train_on_batch fetches the loss, so compute is done
-            if profiling and trainer.step >= profile_start + profile_steps:
+            if profiling and trainer.step >= profile_end:
                 jax_trace.__exit__(None, None, None)
                 profiling = False
                 profile_dir = None
@@ -255,6 +259,9 @@ def run_training(
 
             if wandb_logger:
                 wandb_logger.commit(step=trainer.step)
+    if profiling:  # n_iter reached inside the capture window
+        jax_trace.__exit__(None, None, None)
+        logger.info("Profiler trace written (training ended inside window).")
     logger.info("End of training.")
     trainer.save()
 
