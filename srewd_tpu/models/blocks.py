@@ -216,7 +216,25 @@ class SelfAttention(nn.Module):
         return out + x
 
 
+import contextlib
+import contextvars
 import os as _os
+
+# Trace-time switch: inside generate_sr/sample the attention has no backward
+# pass, so eligible shapes route to the Pallas flash kernel (ops/
+# flash_attention.py) instead of the XLA chunked path. Training never sets
+# it (the flash kernel defines no VJP).
+_INFERENCE_ATTN = contextvars.ContextVar("srewd_inference_attn", default=False)
+
+
+@contextlib.contextmanager
+def inference_attention():
+    token = _INFERENCE_ATTN.set(True)
+    try:
+        yield
+    finally:
+        _INFERENCE_ATTN.reset(token)
+
 
 # CA chunk rematerialization: default OFF — measured 3.7x faster phydiff
 # training on v5e (0.97 -> 3.62 steps/s at batch 16) with the saved
@@ -243,6 +261,12 @@ def _chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: fl
     monolithic einsum; jax.checkpoint keeps training memory bounded.
     """
     b, n, c = q.shape
+
+    if _INFERENCE_ATTN.get():
+        from ..ops.flash_attention import flash_attention, flash_eligible
+
+        if flash_eligible(b, n, c, q.dtype.itemsize):
+            return flash_attention(q, k, v, scale)
 
     def att(qc):
         a = jnp.einsum("bic,bjc->bij", qc, k, preferred_element_type=jnp.float32)

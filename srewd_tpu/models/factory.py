@@ -235,17 +235,20 @@ class DiffusionModel:
                 {"params": unet_params}, x_in, noise_level, train=False, **kwargs
             )
 
-        if sampler == "ddim":
-            img, frames = ddim_sample_chain(
-                schedule, denoise_fn, cond.shape, rng,
-                steps=ddim_steps, eta=ddim_eta, clip_denoised=clip_denoised,
-            ), None
-        else:
-            out = sample_chain(
-                schedule, denoise_fn, cond.shape, rng,
-                clip_denoised=clip_denoised, keep_every=keep_every,
-            )
-            img, frames = out if keep_every is not None else (out, None)
+        from .blocks import inference_attention
+
+        with inference_attention():  # no backward here -> flash kernel eligible
+            if sampler == "ddim":
+                img, frames = ddim_sample_chain(
+                    schedule, denoise_fn, cond.shape, rng,
+                    steps=ddim_steps, eta=ddim_eta, clip_denoised=clip_denoised,
+                ), None
+            else:
+                out = sample_chain(
+                    schedule, denoise_fn, cond.shape, rng,
+                    clip_denoised=clip_denoised, keep_every=keep_every,
+                )
+                img, frames = out if keep_every is not None else (out, None)
         if self.arch != "sr3":
             img = img + cond
             if frames is not None:
