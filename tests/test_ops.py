@@ -279,3 +279,56 @@ class TestPallasFusedGN:
         g1 = jax.grad(lambda a: jnp.sum(fused_groupnorm_swish(a, s, b, 4)))(x)
         g2 = jax.grad(lambda a: jnp.sum(_pure_gn_swish(a, s, b, 4, 1e-5, True)))(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
+class TestFlashAttention:
+    """Pallas flash attention (interpret mode) vs monolithic softmax."""
+
+    def _ref(self, q, k, v, scale):
+        import jax
+
+        s = jnp.einsum("bic,bjc->bij", q, k, preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s * scale, -1).astype(v.dtype)
+        return jnp.einsum(
+            "bij,bjc->bic", p, v, preferred_element_type=jnp.float32
+        ).astype(q.dtype)
+
+    def test_parity(self):
+        import math
+
+        from srewd_tpu.ops.flash_attention import _pick_qb, flash_attention
+
+        rng = np.random.default_rng(0)
+        for (b, n, d) in [(2, 512, 64), (1, 1024, 32), (2, 256, 16)]:
+            q, k, v = (
+                jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+                for _ in range(3)
+            )
+            scale = 1.0 / math.sqrt(d)
+            assert _pick_qb(n) is not None
+            out = flash_attention(q, k, v, scale, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(self._ref(q, k, v, scale)), atol=2e-5
+            )
+
+    def test_eligibility_gates(self):
+        from srewd_tpu.ops.flash_attention import flash_eligible
+
+        # CPU platform in tests -> never eligible (falls back to XLA path)
+        assert not flash_eligible(8, 8192, 64, 2)
+
+    def test_inference_context_routes(self):
+        """The trace-time context flag controls routing (pure path on CPU)."""
+        import math
+
+        from srewd_tpu.models.blocks import _chunked_attention, inference_attention
+
+        rng = np.random.default_rng(1)
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((1, 64, 8)), jnp.float32)
+            for _ in range(3)
+        )
+        with inference_attention():
+            a = _chunked_attention(q, k, v, 1.0 / math.sqrt(8))
+        b = _chunked_attention(q, k, v, 1.0 / math.sqrt(8))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
