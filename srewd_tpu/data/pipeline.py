@@ -132,6 +132,10 @@ class DataHandler:
         for var in self.variables:
             for t in _TYPES:
                 st = self.stores[var][t]
+                if not st.time_variate:
+                    # Constant fields (reference ConstantData, datasets.py:468-623)
+                    # are valid at every timestamp: no range restriction.
+                    continue
                 ts = ts[
                     (ts + np.timedelta64(lo_off, "h") >= st.timestamps[0])
                     & (ts + np.timedelta64(hi_off, "h") <= st.timestamps[-1])
@@ -142,6 +146,15 @@ class DataHandler:
 
     # ---------------------------------------------------------------- batches
     def assemble(self, ts_batch: np.ndarray, normalized: bool = True) -> dict:
+        """Read + normalize one batch of timestamps.
+
+        Normalization semantics with lead_time/delays (intended reference
+        parity): every offset slice is scaled with the BASE timestamp's month
+        scaler — the reference's TimeVariateData also keys its transform on
+        the base sample's month, not the offset read's (datasets.py:297-309),
+        so a delayed channel crossing a transform-group boundary uses the
+        base group's statistics on both sides.
+        """
         months = months_of(ts_batch)  # month of the BASE timestamp (datasets.py:297)
         out = {"months": months.astype(np.int32)}
         offsets = [self.lead_time + d for d in (self.delays or [0])]

@@ -140,6 +140,27 @@ def fit_monthly_scalers(
         raise ValueError(f"unknown transformation {kind}")
     validate_groups(months_subset, groups)
 
+    if not store.time_variate:
+        # Constant (time-invariant) field, e.g. orography: fit once on the
+        # single constant sample and use the same stats for every month —
+        # the reference fits constants on a one-element batch
+        # (transforms.py:311-312 -> _fit_to_batch(dataset, [0])).
+        if kind == "LocalStandardScaling":
+            # Per-pixel std over a single constant sample is undefined
+            # (unbiased var of N=1 -> NaN in the reference too); fail loudly
+            # instead of silently producing NaNs. Documented deviation.
+            raise ValueError(
+                "LocalStandardScaling cannot be fitted to a constant field "
+                f"({store.path}): per-pixel variance over a single sample is "
+                "undefined. Use GlobalStandardScaling or IdentityTransform."
+            )
+        acc = WelfordAccumulator(_KIND_AXES[kind])
+        acc.update(store.read(None)[None])
+        m, s = acc.finalize(unbiased=True)
+        mean = np.broadcast_to(m, (13,) + m.shape).copy()
+        std = np.broadcast_to(s, (13,) + s.shape).copy()
+        return MonthlyScalerSet(mean, std, kind)
+
     cache_path = None
     if cache_dir:
         key = repr((os.path.abspath(store.path), str(min_date), str(max_date),

@@ -199,6 +199,40 @@ def write_variable(
         np.save(os.path.join(year_dir, format_date(ts) + ".npy"), field.astype(np.float32))
 
 
+def write_constant_variable(
+    root: str,
+    variable: str,
+    data: np.ndarray,
+    lat: np.ndarray,
+    lon: np.ndarray,
+    attrs: dict | None = None,
+) -> None:
+    """Write one constant [H,W] field (e.g. orography) in the store layout.
+
+    Mirrors the reference's constant-data contract: time_variate=false in the
+    metadata + a single samples/constant.npy (npy_reader.py:182-190).
+    """
+    if data.ndim == 3:
+        data = data[..., 0]
+    base = os.path.join(root, variable)
+    os.makedirs(os.path.join(base, META_DIR), exist_ok=True)
+    os.makedirs(os.path.join(base, SAMPLES_DIR), exist_ok=True)
+    meta = {
+        "name": variable,
+        "time_variate": False,
+        "dims": ["lat", "lon"],
+        "shape": [int(data.shape[0]), int(data.shape[1])],
+        "coords": [
+            {"name": "lat", "values": np.asarray(lat).tolist(), "dims": ["lat"]},
+            {"name": "lon", "values": np.asarray(lon).tolist(), "dims": ["lon"]},
+        ],
+        "attrs": attrs or {},
+    }
+    with open(os.path.join(base, META_DIR, META_FILE), "w") as f:
+        json.dump(meta, f)
+    np.save(os.path.join(base, SAMPLES_DIR, CONSTANT_FILE), data.astype(np.float32))
+
+
 def make_synthetic_weatherbench(
     root: str,
     min_date: str = "2017-01-01-00",
@@ -208,12 +242,14 @@ def make_synthetic_weatherbench(
     hr_shape: tuple[int, int] = (128, 256),
     seed: int = 0,
     base_kelvin: float = 285.0,
+    constants: tuple = (),
 ) -> str:
     """Generate a tiny consistent synthetic WeatherBench tree for tests/benches.
 
     HR fields are smooth random temperature-like fields (Kelvin scale with a
     seasonal/diurnal modulation); LR is the 4x block-mean of HR, so the
-    LR->HR relationship is learnable.
+    LR->HR relationship is learnable. `constants` names extra time-invariant
+    variables (e.g. "orography") written as single constant fields.
     """
     from .timeindex import hourly_range, months_of
 
@@ -247,4 +283,9 @@ def make_synthetic_weatherbench(
     for var in variables:
         write_variable(os.path.join(root, "hr"), var, hr, ts, lat_hr, lon_hr)
         write_variable(os.path.join(root, "lr"), var, lr, ts, lat_lr, lon_lr)
+    for var in constants:
+        const_hr = (1000.0 * np.abs(np.sin(yy[0] * 2) * np.cos(xx[0]))).astype(np.float32)
+        const_lr = const_hr.reshape(lh, hh // lh, lw, hw // lw).mean(axis=(1, 3))
+        write_constant_variable(os.path.join(root, "hr"), var, const_hr, lat_hr, lon_hr)
+        write_constant_variable(os.path.join(root, "lr"), var, const_lr, lat_lr, lon_lr)
     return root

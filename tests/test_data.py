@@ -341,6 +341,61 @@ class TestMultiVariable:
         inv = dh.inverse_transform({"HR": b["HR"]}, b["months"])
         assert 200 < float(np.mean(inv["HR"])) < 350
 
+    def test_constant_variable_through_pipeline(self, tmp_path):
+        """Constant fields (reference ConstantData, datasets.py:468-623) join
+        a variable group end-to-end: index, assemble, normalize, inverse."""
+        from srewd_tpu.data.pipeline import DataHandler
+        from srewd_tpu.data.store import WeatherStore, make_synthetic_weatherbench
+
+        root = make_synthetic_weatherbench(
+            str(tmp_path / "wbc"), "2017-01-01-00", "2017-01-03-00",
+            variables=("t2m",), lr_shape=(8, 16), hr_shape=(16, 32),
+            constants=("orography",),
+        )
+        dh = DataHandler(
+            dataroot=root, variables=["t2m", "orography"],
+            train_min_date="2017-01-01-00", train_max_date="2017-01-02-00",
+            val_min_date="2017-01-02-00", val_max_date="2017-01-03-00",
+            train_batch_size=4,
+        ).process_data()
+        # constant store must not restrict the time index
+        assert len(dh.train_timestamps) == 24
+        b = next(iter(dh.train_batches(0)))
+        assert b["HR"].shape == (4, 16, 32, 2) and b["LR"].shape == (4, 8, 16, 2)
+        # the constant channel is identical across the batch
+        const_ch = b["HR"][..., 1]
+        np.testing.assert_array_equal(const_ch, np.broadcast_to(const_ch[:1], const_ch.shape))
+        assert np.all(np.isfinite(b["HR"]))
+        # normalized: the single-fit global scaler standardizes spatially
+        assert abs(float(const_ch[0].mean())) < 1e-3
+        assert abs(float(const_ch[0].std()) - 1.0) < 0.1
+        # inverse restores the raw constant field
+        inv = dh.inverse_transform({"HR": b["HR"]}, b["months"])
+        raw = WeatherStore(f"{root}/hr/orography").read(None)
+        np.testing.assert_allclose(inv["HR"][0, ..., 1], raw[..., 0], rtol=1e-4, atol=1e-2)
+        # val batches work too (same fitted transforms)
+        vb = next(iter(dh.val_batches()))
+        assert vb["HR"].shape[-1] == 2
+
+    def test_constant_local_scaling_rejected(self, tmp_path):
+        """LocalStandardScaling over a single constant sample is undefined
+        (NaN in the reference); we fail loudly instead."""
+        from srewd_tpu.data.pipeline import DataHandler
+        from srewd_tpu.data.store import make_synthetic_weatherbench
+
+        root = make_synthetic_weatherbench(
+            str(tmp_path / "wbl"), "2017-01-01-00", "2017-01-02-00",
+            variables=("t2m",), lr_shape=(8, 16), hr_shape=(16, 32),
+            constants=("orography",),
+        )
+        with pytest.raises(ValueError, match="constant"):
+            DataHandler(
+                dataroot=root, variables=["t2m", "orography"],
+                transformation="LocalStandardScaling",
+                train_min_date="2017-01-01-00", train_max_date="2017-01-02-00",
+                val_min_date="2017-01-01-00", val_max_date="2017-01-02-00",
+            ).process_data()
+
 
 class TestGrainPipeline:
     """Optional grain backend must match DataHandler batching semantics."""
