@@ -1,8 +1,29 @@
 """Convert reference PyTorch UNet checkpoints into WeatherUNet param trees.
 
-Lets users of the reference migrate trained `.pth` state dicts (sr3-family
-UNet trunk: models/diffusion_models/sr3/unet.py + nn_modules/resnet.py) into
-this framework, and powers the weight-level forward-parity tests.
+Lets users of the reference migrate trained `.pth` state dicts for ALL FIVE
+architectures (models/diffusion_models/{sr3,resdiff,phydiff,srdiff,
+physrdiff}/unet.py + nn_modules/resnet.py) into this framework, and powers
+the weight-level forward-parity tests.
+
+Entry point: `convert_unet_state(state_dict, variant)`; the per-variant
+extras on top of the shared trunk are
+
+  fd_spliter.* (resdiff; physrdiff has the member undefined in the
+  reference, physrdiff/unet.py:150)    -> FDInfoSpliter_0/*
+    noise_func                         -> Dense_0
+    noise_resSE / sigma_resSE /
+    HF_guided_resSE (fc.0, fc.2)       -> ResSE_{0,1,2}/Dense_{0,1}
+    channel_transform                  -> Conv_0
+  hf_ca_list.{i} (resdiff/phydiff/
+  physrdiff, guided_cross_attention.py)-> CrossAttention_{i}/
+    {norm, kv, q, out}                 -> {FusedGroupNorm_0, Conv_0, Conv_1,
+                                           Conv_2}
+  cond_proj (srdiff/physrdiff,
+  srdiff/unet.py:43-45)                -> ConvTranspose_0 (kernel
+                                          transposed to [kh,kw,I,O] AND
+                                          spatially flipped; flax
+                                          ConvTranspose correlates where
+                                          torch's transposed conv convolves)
 
 Key mapping (torch registration order -> flax call order):
   noise_level_mlp.1 / .3                -> NoiseLevelMLP_0/Dense_0 / Dense_1
@@ -81,9 +102,96 @@ def _rba_into(tree, k, sd, prefix):
         _set(tree, abase + ["Conv_1"], "bias", _np(sd[f"{prefix}.attn.out.bias"]))
 
 
+def _convT(w):
+    """torch ConvTranspose2d [I,O,kh,kw] -> flax ConvTranspose [kh,kw,I,O].
+
+    The spatial flip makes flax's correlation-style conv_transpose equal to
+    torch's convolution-style transposed conv (verified to float round-off
+    for the cond_proj shape k=8 s=4 p=2 <-> padding='SAME').
+    """
+    return np.ascontiguousarray(np.transpose(_np(w), (2, 3, 0, 1))[::-1, ::-1])
+
+
+def _resse_into(tree, base, sd, prefix):
+    """torch ResSE (fc.0 / fc.2, both bias-free) -> flax ResSE."""
+    _set(tree, base + ["Dense_0"], "kernel", _lin(sd[f"{prefix}.fc.0.weight"]))
+    _set(tree, base + ["Dense_1"], "kernel", _lin(sd[f"{prefix}.fc.2.weight"]))
+
+
+def _spliter_into(tree, sd, prefix="fd_spliter"):
+    """torch FD_Info_Spliter -> flax FDInfoSpliter_0."""
+    base = ["FDInfoSpliter_0"]
+    _set(tree, base + ["Dense_0"], "kernel", _lin(sd[f"{prefix}.noise_func.weight"]))
+    _set(tree, base + ["Dense_0"], "bias", _np(sd[f"{prefix}.noise_func.bias"]))
+    _resse_into(tree, base + ["ResSE_0"], sd, f"{prefix}.noise_resSE")
+    _resse_into(tree, base + ["ResSE_1"], sd, f"{prefix}.sigma_resSE")
+    _resse_into(tree, base + ["ResSE_2"], sd, f"{prefix}.HF_guided_resSE")
+    _set(tree, base + ["Conv_0"], "kernel", _conv(sd[f"{prefix}.channel_transform.weight"]))
+    _set(tree, base + ["Conv_0"], "bias", _np(sd[f"{prefix}.channel_transform.bias"]))
+
+
+def _hf_ca_into(tree, i, sd, prefix):
+    """torch HF_guided_CA -> flax CrossAttention_{i} (call order: norm, kv, q, out)."""
+    base = [f"CrossAttention_{i}"]
+    _set(tree, base + ["FusedGroupNorm_0"], "scale", _np(sd[f"{prefix}.norm.weight"]))
+    _set(tree, base + ["FusedGroupNorm_0"], "bias", _np(sd[f"{prefix}.norm.bias"]))
+    _set(tree, base + ["Conv_0"], "kernel", _conv(sd[f"{prefix}.kv.weight"]))
+    _set(tree, base + ["Conv_1"], "kernel", _conv(sd[f"{prefix}.q.weight"]))
+    _set(tree, base + ["Conv_2"], "kernel", _conv(sd[f"{prefix}.out.weight"]))
+    _set(tree, base + ["Conv_2"], "bias", _np(sd[f"{prefix}.out.bias"]))
+
+
+def convert_unet_state(state_dict, variant: str = "sr3") -> dict:
+    """Reference <variant> UNet state_dict -> WeatherUNet(variant=...) params.
+
+    physrdiff: the reference UNet references an fd_spliter member it never
+    defines (physrdiff/unet.py:150), so trained physrdiff checkpoints carry
+    no spliter weights; the returned tree then omits FDInfoSpliter_0 and the
+    caller must merge freshly initialized spliter params (see
+    merge_with_init).
+    """
+    if variant not in ("sr3", "resdiff", "phydiff", "srdiff", "physrdiff"):
+        raise ValueError(f"unknown variant {variant}")
+    sd = OrderedDict((k, v) for k, v in state_dict.items())
+    tree = _convert_trunk(sd)
+    if f"fd_spliter.noise_func.weight" in sd:
+        _spliter_into(tree, sd)
+    for i in range(16):  # J=4 in all reference configs; scan defensively
+        if f"hf_ca_list.{i}.norm.weight" in sd:
+            _hf_ca_into(tree, i, sd, f"hf_ca_list.{i}")
+    if "cond_proj.weight" in sd:
+        _set(tree, ["ConvTranspose_0"], "kernel", _convT(sd["cond_proj.weight"]))
+        _set(tree, ["ConvTranspose_0"], "bias", _np(sd["cond_proj.bias"]))
+    return tree
+
+
+def merge_with_init(converted: dict, init_params: dict) -> dict:
+    """Fill converted-tree gaps (e.g. physrdiff's missing spliter) from an
+    init tree; errors on leaves present in converted but absent in init."""
+    import jax
+
+    def merge(conv_node, init_node):
+        if not isinstance(init_node, dict):
+            return conv_node if conv_node is not None else init_node
+        out = {}
+        for k, v in init_node.items():
+            c = conv_node.get(k) if isinstance(conv_node, dict) else None
+            out[k] = merge(c, v)
+        extra = set(conv_node or ()) - set(init_node)
+        if extra:
+            raise ValueError(f"converted params not in model: {sorted(extra)}")
+        return out
+
+    return jax.tree.map(lambda x: x, merge(converted, init_params))
+
+
 def convert_sr3_unet_state(state_dict) -> dict:
     """Reference sr3 UNet state_dict -> WeatherUNet(variant='sr3') params."""
-    sd = OrderedDict((k, v) for k, v in state_dict.items())
+    return convert_unet_state(state_dict, "sr3")
+
+
+def _convert_trunk(sd) -> dict:
+    """Shared trunk (noise MLP, downs/mid/ups, final conv) of every variant."""
     tree: dict = {}
 
     _set(tree, ["NoiseLevelMLP_0", "Dense_0"], "kernel",
