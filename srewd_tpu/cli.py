@@ -50,6 +50,11 @@ def build_trainer(opt: dict, example_batch: dict, dtype=None) -> DiffusionTraine
     sched_val = Schedule.from_config(bs.get("val", bs["train"]))
     ocfg = opt["train"]["optimizer"]
     tx = get_optimizer(ocfg.get("type", "adam"), float(ocfg.get("lr", 1e-4)))
+    finetune_norm = bool(opt["model"].get("finetune_norm"))
+    if finetune_norm:
+        from .training.optimizers import finetune_norm_optimizer
+
+        tx = finetune_norm_optimizer(tx)
     ema_cfg = opt["train"].get("ema_scheduler") or {}
     ema_enabled = bool(ema_cfg.get("enabled", False))
     dcfg = opt["model"].get("diffusion") or {}
@@ -87,7 +92,13 @@ def build_trainer(opt: dict, example_batch: dict, dtype=None) -> DiffusionTraine
 
     resume = opt["path"].get("resume_state")
     if resume:
-        trainer.resume(resume)
+        if finetune_norm:
+            # reference loads non-strict under finetune_norm (model.py:208-209):
+            # params-only, tolerant of structure drift; optimizer state and
+            # counters start fresh for the finetune run.
+            trainer.load_params_tolerant(resume)
+        else:
+            trainer.resume(resume)
     return trainer
 
 

@@ -131,6 +131,35 @@ class DiffusionTrainer:
         self.step = int(state["step"])
         self.epoch = int(state["epoch"])
 
+    def load_params_tolerant(self, path: str) -> None:
+        """Params-only, non-strict checkpoint load (reference finetune_norm
+        semantics, model.py:208-209 strict=False): leaves present in both
+        trees are taken from the checkpoint, missing ones keep their init
+        values, extra checkpoint leaves are ignored. opt_state and step/epoch
+        counters are left untouched (fresh finetune run)."""
+        mgr = self.ckpt or CheckpointManager(path.rsplit("/", 1)[0])
+        raw = mgr.restore(path, None)  # raw pytree, no structure target
+        loaded = raw.get("params", raw)
+
+        def merge(init, got, path=""):
+            if not isinstance(init, dict):
+                if got is None:
+                    return init
+                got = jnp.asarray(got)
+                if got.shape != init.shape:  # torch strict=False also raises here
+                    raise ValueError(
+                        f"checkpoint shape mismatch at {path}: {got.shape} vs {init.shape}"
+                    )
+                return got
+            return {
+                k: merge(v, got.get(k) if isinstance(got, dict) else None, f"{path}/{k}")
+                for k, v in init.items()
+            }
+
+        self.params = jax.device_put(
+            merge(self.params, loaded), replicated_sharding(self.mesh)
+        )
+
     def save(self) -> Optional[str]:
         if self.ckpt is None:
             return None

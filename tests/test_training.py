@@ -141,6 +141,57 @@ class TestSPMD:
         assert bool(jnp.all(jnp.isfinite(sr)))
 
 
+class TestFinetuneNorm:
+    """finetune_norm (reference model.py:31-44, :208-209): only norm-affine
+    params train; checkpoint load is non-strict."""
+
+    def test_only_norm_params_change(self):
+        from srewd_tpu.training.optimizers import (
+            finetune_norm_optimizer,
+            norm_param_mask,
+        )
+
+        sched = Schedule.create("linear", n_timestep=8)
+        tr = DiffusionTrainer(
+            model=_model(), schedule_train=sched, schedule_val=sched,
+            optimizer=finetune_norm_optimizer(optax.adam(1e-2)),
+            mesh=make_mesh(1), seed=0,
+        )
+        tr.init_params(_batch(0))
+        mask = norm_param_mask(tr.params)
+        assert any(jax.tree.leaves(mask)) and not all(jax.tree.leaves(mask))
+        before = jax.tree.map(np.asarray, tr.params)
+        tr.train_on_batch(_batch(1))
+        flat_b = jax.tree_util.tree_flatten_with_path(before)[0]
+        flat_a = dict(jax.tree_util.tree_flatten_with_path(
+            jax.tree.map(np.asarray, tr.params))[0])
+        flat_m = dict(jax.tree_util.tree_flatten_with_path(mask)[0])
+        changed_norm = unchanged_other = 0
+        for p, b in flat_b:
+            a = flat_a[p]
+            if flat_m[p]:
+                changed_norm += int(not np.array_equal(a, b))
+            else:
+                np.testing.assert_array_equal(a, b, err_msg=str(p))
+                unchanged_other += 1
+        assert changed_norm > 0 and unchanged_other > 0
+
+    def test_tolerant_params_load(self, tmp_path):
+        t1 = _trainer(str(tmp_path / "ck"))
+        t1.init_params(_batch(0))
+        t1.train_on_batch(_batch(1))
+        t1.step, t1.epoch = 7, 2
+        path = t1.save()
+
+        t2 = _trainer()
+        t2.init_params(_batch(0))
+        t2.load_params_tolerant(path)
+        for a, b in zip(_leaves(t1.params), _leaves(t2.params)):
+            np.testing.assert_array_equal(a, b)
+        assert t2.step == 0 and t2.epoch == 0  # counters stay fresh
+        t2.train_on_batch(_batch(2))  # fresh opt_state still usable
+
+
 class TestMetricsStreaming:
     def test_streaming_equals_direct(self):
         from srewd_tpu.training.metrics import ValidationMetrics, create_metric_dict
