@@ -53,6 +53,63 @@ class TestImageContainer:
         fig = ImageContainer(_visuals()).make_wandb_plot()
         assert len(fig.axes) >= 3  # IT/SR/HR panels (+colorbars)
 
+    def test_derived_interpolated_maps(self):
+        """compute_residual_mask parity (visualization.py:43-50)."""
+        c = ImageContainer(_visuals())
+        for k in ("RESIDUALS", "RESIDUALS_INTERPOLATED", "ABS_RESIDUALS",
+                  "ABS_INTERPOLATED"):
+            assert k in c.visuals
+        np.testing.assert_allclose(
+            c.visuals["ABS_INTERPOLATED"],
+            np.abs(c.visuals["INF"] - c.visuals["HR"]),
+        )
+
+    def test_reference_colormap_tables(self):
+        """Exact color anchors of the reference's custom maps (:572-653)."""
+        hv = CMAPS["heat_vibrant"]
+        assert hv.N == 100
+        np.testing.assert_allclose(hv(0.0)[:3], (0.5, 0.0, 0.5), atol=1e-6)  # purple
+        np.testing.assert_allclose(hv(1.0)[:3], (1.0, 0.0, 0.0), atol=1e-6)  # red
+        hm = CMAPS["heat_muted"]
+        assert hm.N == 100
+        np.testing.assert_allclose(hm(0.0)[:3], (0.75, 0.5, 0.75), atol=1e-6)
+        ae = CMAPS["ae_color"]
+        np.testing.assert_allclose(ae(0.5)[:3], matplotlib.colors.to_rgb("yellow"),
+                                   atol=0.02)
+        ab = CMAPS["abs_color"]
+        np.testing.assert_allclose(ab(0.5)[:3], (1.0, 1.0, 1.0), atol=0.02)  # white @ 0
+        # reference cmap-name aliases resolve to the same maps
+        for alias, name in (("custom_heatmap_vibrant", "heat_vibrant"),
+                            ("custom_ae", "ae_color"), ("custom", "abs_color")):
+            assert CMAPS[alias] is CMAPS[name]
+        # residual mask: white/gray/black with over/under extremes (:198)
+        rm = CMAPS["residual_mask"]
+        assert [matplotlib.colors.to_hex(c) for c in rm.colors] == \
+               ["#ffffff", "#808080", "#000000"]
+
+    def test_comparison_plot_products(self, tmp_path):
+        """Every reference plot product writes a file (:311-555)."""
+        c = ImageContainer(_visuals(), n_images=1)
+        c.set_min_max(220.0, 315.0)
+        outs = [
+            c.save_it_sr_hr_plot(str(tmp_path / "it_sr_hr")),
+            c.save_sr_hr_plot(str(tmp_path / "cmp")),
+            c.save_sr_hr_abs_plot(str(tmp_path / "cmp")),
+            c.save_tensor_it_sr_hr_plot(str(tmp_path / "tensors")),
+            c.save_residual_mask(str(tmp_path / "mask")),
+        ]
+        for f in outs:
+            assert os.path.isfile(f) and os.path.getsize(f) > 0, f
+
+    def test_save_all_images_reference_type_names(self, tmp_path):
+        """Reference image-type aliases (INTERPOLATED/DELTA/AE/AE_INTER)."""
+        c = ImageContainer(_visuals(), n_images=1)
+        files = c.save_all_images(
+            str(tmp_path / "p"),
+            image_types=["INTERPOLATED", "DELTA", "AE", "AE_INTER"],
+        )
+        assert len(files) == 4 and all(os.path.isfile(f) for f in files)
+
 
 class TestWandbLoggerOptional:
     def test_noop_without_wandb(self):
