@@ -92,8 +92,18 @@ class Config:
         pattern = os.path.join(
             base, "experiments", f"{self.params['name']}_*", "checkpoint", "I*_E*"
         )
+        # anchored run-dir match: <name>_<yymmdd_HHMMSS> exactly (_now_tag
+        # format) — a bare prefix glob would also match sibling experiments
+        # whose name extends this one (e.g. resdiff+physics_100 vs
+        # resdiff+physics_100_eval_500) and silently resume the wrong run
+        run_re = re.compile(
+            rf"^{re.escape(self.params['name'])}_\d{{6}}_\d{{6}}$"
+        )
         best, best_iter = None, -1
         for p in glob.glob(pattern):
+            run_dir = os.path.basename(os.path.dirname(os.path.dirname(p)))
+            if not run_re.match(run_dir):
+                continue
             m = re.match(r"I(\d+)_E(\d+)$", os.path.basename(p))
             if m and int(m.group(1)) > best_iter:
                 best, best_iter = p, int(m.group(1))

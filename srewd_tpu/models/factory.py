@@ -237,6 +237,11 @@ class DiffusionModel:
 
         from .blocks import inference_attention
 
+        if sampler == "ddim" and keep_every is not None:
+            raise ValueError(
+                "keep_every (continuous-mode frames) is only implemented for "
+                "the ddpm sampler; drop keep_every or use sampler='ddpm'"
+            )
         with inference_attention():  # no backward here -> flash kernel eligible
             if sampler == "ddim":
                 img, frames = ddim_sample_chain(

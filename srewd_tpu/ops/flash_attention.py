@@ -45,6 +45,14 @@ def _pick_qb(n: int) -> int | None:
 def flash_eligible(b: int, n: int, d: int, itemsize: int) -> bool:
     if jax.devices()[0].platform != "tpu":
         return False
+    if jax.device_count() > 1:
+        # Under a multi-device mesh the jitted sampler traces pallas_call
+        # with the GLOBAL (data-sharded) batch, which GSPMD cannot partition
+        # through the kernel — it would force replication or fail to lower.
+        # Only the measured single-chip context routes here; multi-chip
+        # sampling keeps the XLA chunked path (models/blocks.py), which
+        # GSPMD shards cleanly over the batch axis.
+        return False
     if d % 8 or n % 8:
         return False
     if n * d * itemsize > _KV_BYTES:

@@ -51,6 +51,17 @@ class TestConfig:
         c = Config(_write_cfg(tmp_path, resume="auto"))
         assert c.get_opt()["path"]["resume_state"].endswith("I1500_E3")
 
+    def test_auto_resume_ignores_extended_experiment_names(self, tmp_path):
+        """'auto' must not resume from a sibling experiment whose name merely
+        extends this one (the shipped corpus has such pairs, e.g.
+        resdiff+physics_100 vs resdiff+physics_100_eval_500)."""
+        (tmp_path / "experiments" / "exp1_eval_500_250101_000000" / "checkpoint"
+         / "I9000_E9").mkdir(parents=True)
+        (tmp_path / "experiments" / "exp1_250101_000000" / "checkpoint"
+         / "I500_E2").mkdir(parents=True)
+        c = Config(_write_cfg(tmp_path, resume="auto"))
+        assert c.get_opt()["path"]["resume_state"].endswith("I500_E2")
+
     def test_auto_resume_fresh_when_none(self, tmp_path):
         c = Config(_write_cfg(tmp_path, resume="auto"))
         assert c.get_opt()["path"]["resume_state"] is None
