@@ -13,7 +13,7 @@ machine — a cross-hardware ratio, recorded as such in BASELINE.md.
 
 Env knobs: BENCH_BATCH (default 8), BENCH_T (default 1000),
 BENCH_DTYPE (bf16|f32, default bf16), BENCH_REPEATS (default 3),
-BENCH_ARCH (sr3|resdiff|phydiff, default sr3 — vs_baseline is always
+BENCH_ARCH (sr3|resdiff|phydiff|srdiff|physrdiff, default sr3 — vs_baseline is always
 grounded on the sr3 trunk, the only variant the reference can run here).
 """
 
