@@ -243,6 +243,11 @@ def inference_attention():
 # larger-than-reference shapes.
 _CA_REMAT = _os.environ.get("SREWD_CA_REMAT", "0") == "1"
 
+# Differentiable Pallas flash attention on TRAINING paths (fwd + bwd
+# kernels, ops/flash_attention.py). Opt-in while under measurement:
+# the no-remat chunked XLA path is the current recorded best for training.
+_FLASH_TRAIN = _os.environ.get("SREWD_FLASH_TRAIN", "0") == "1"
+
 # Cap on the materialized [B, chunk, N] attention slab (bytes, f32).
 # Empirically pinned on v5e-1: 64 MB (256-row chunks at the 8192-token map,
 # batch 8) compiles and runs inside the sampling scan; 256 MB chunks bring
@@ -267,6 +272,14 @@ def _chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: fl
 
         if flash_eligible(b, n, c, q.dtype.itemsize):
             return flash_attention(q, k, v, scale)
+    elif _FLASH_TRAIN:
+        from ..ops.flash_attention import (
+            flash_attention_trainable,
+            flash_eligible_train,
+        )
+
+        if flash_eligible_train(b, n, c, q.dtype.itemsize):
+            return flash_attention_trainable(q, k, v, scale)
 
     def att(qc):
         a = jnp.einsum("bic,bjc->bij", qc, k, preferred_element_type=jnp.float32)

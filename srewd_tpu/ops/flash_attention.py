@@ -16,8 +16,16 @@ the MXU, probabilities are cast to the value dtype before the PV matmul
 
 Eligibility (`flash_eligible`): TPU backend, N % QB == 0, K/V block + score
 block within the VMEM budget. Callers fall back to the chunked XLA path
-otherwise. Backward is NOT defined — use it on no-grad paths (the sampling
-chain); training keeps the XLA chunked path.
+otherwise.
+
+Training: `flash_attention_trainable` adds a custom VJP whose backward is a
+second Pallas kernel over the same row-block grid — recompute scores and
+probabilities from resident K/V (no saved [N, N] slab), then
+  dP = dO V^T,  Δ = rowsum(P ∘ dP),  dS = P ∘ (dP − Δ) · scale,
+  dQ_blk = dS K,  dK += dS^T Q_blk,  dV += P^T dO_blk,
+with dK/dV accumulated in f32 VMEM across the (sequential, innermost) row
+grid dimension. HBM traffic is Q+K+V+dO in, dQ+dK+dV out — versus the
+chunked XLA backward's re-materialized probability slabs.
 """
 
 from __future__ import annotations
@@ -32,14 +40,18 @@ _KV_BYTES = 4 * 1024 * 1024  # K + V resident budget (each)
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _pick_qb(n: int) -> int | None:
-    qb = min(n, max(8, _SCORE_BYTES // (n * 4)))
+def _pick_qb(n: int, score_bytes: int = _SCORE_BYTES) -> int | None:
+    qb = min(n, max(8, score_bytes // (n * 4)))
     # largest power-of-two-ish divisor of n that is <= qb and multiple of 8
     while qb >= 8:
         if n % qb == 0 and qb % 8 == 0:
             return qb
         qb -= 8
     return None
+
+
+# backward holds three [QB, N] f32 slabs (P, dP, dS) instead of one
+_SCORE_BYTES_BWD = 2 * 1024 * 1024
 
 
 def flash_eligible(b: int, n: int, d: int, itemsize: int) -> bool:
@@ -106,3 +118,114 @@ def flash_attention(
         interpret=interpret,
         **kwargs,
     )(q, k, v)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                *, scale: float):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    q = q_ref[0]   # [QB, D]
+    k = k_ref[0]   # [N, D]
+    v = v_ref[0]   # [N, D]
+    do = do_ref[0]  # [QB, D]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                       # [QB, N]
+    p = jax.nn.softmax(s, axis=-1)  # f32
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                               # [QB, N]
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale   # [QB, N], scale folded in
+
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+
+    dk_blk = jax.lax.dot_general(  # [N, D] contribution of this row block
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dv_blk = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = dk_blk
+        dv_ref[0] = dv_blk
+
+    @pl.when(j != 0)
+    def _acc():
+        dk_ref[0] += dk_blk
+        dv_ref[0] += dv_blk
+
+
+def _flash_bwd(q, k, v, do, scale: float, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, d = q.shape
+    qb = _pick_qb(n, _SCORE_BYTES_BWD)
+    if qb is None:
+        raise ValueError(f"no row block for n={n}")
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        )
+    blk = lambda i, j: (i, j, 0)    # noqa: E731
+    whole = lambda i, j: (i, 0, 0)  # noqa: E731
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, d), jnp.float32),
+        ),
+        grid=(b, n // qb),  # row dim innermost -> sequential dk/dv accumulation
+        in_specs=[
+            pl.BlockSpec((1, qb, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qb, d), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, qb, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), whole, memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(q, k, v, do)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_trainable(q, k, v, scale: float, interpret: bool = False):
+    """flash_attention with a Pallas backward — safe under jax.grad.
+
+    Check `flash_eligible_train` first (stricter row-block budget than the
+    inference-only path)."""
+    return flash_attention(q, k, v, scale, interpret=interpret)
+
+
+def _fat_fwd(q, k, v, scale, interpret):
+    return flash_attention(q, k, v, scale, interpret=interpret), (q, k, v)
+
+
+def _fat_bwd(scale, interpret, res, do):
+    q, k, v = res
+    return _flash_bwd(q, k, v, do, scale, interpret=interpret)
+
+
+flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
+
+
+def flash_eligible_train(b: int, n: int, d: int, itemsize: int) -> bool:
+    """Eligibility for the differentiable path (fwd + bwd kernels)."""
+    return (
+        flash_eligible(b, n, d, itemsize)
+        and _pick_qb(n, _SCORE_BYTES_BWD) is not None
+    )

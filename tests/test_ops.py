@@ -317,6 +317,51 @@ class TestFlashAttention:
         # CPU platform in tests -> never eligible (falls back to XLA path)
         assert not flash_eligible(8, 8192, 64, 2)
 
+    def test_backward_parity(self):
+        """Custom-VJP grads (Pallas bwd kernel, interpret) vs autodiff of
+        the monolithic reference, all three operands."""
+        import math
+
+        import jax
+
+        from srewd_tpu.ops.flash_attention import (
+            _pick_qb,
+            _SCORE_BYTES_BWD,
+            flash_attention_trainable,
+        )
+
+        rng = np.random.default_rng(3)
+        for (b, n, d) in [(2, 512, 64), (1, 1024, 32)]:
+            q, k, v, co = (
+                jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+                for _ in range(4)
+            )
+            scale = 1.0 / math.sqrt(d)
+            assert _pick_qb(n, _SCORE_BYTES_BWD) is not None
+
+            def loss_flash(q, k, v):
+                return jnp.sum(
+                    flash_attention_trainable(q, k, v, scale, True) * co
+                )
+
+            def loss_ref(q, k, v):
+                return jnp.sum(self._ref(q, k, v, scale) * co)
+
+            g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+            g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+            for got, want, name in zip(g_flash, g_ref, "qkv"):
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want), atol=5e-4,
+                    err_msg=f"d{name} mismatch at {(b, n, d)}",
+                )
+
+    def test_train_route_knob(self):
+        """SREWD_FLASH_TRAIN routes training-path CA through the trainable
+        kernel only when eligible (never on CPU)."""
+        from srewd_tpu.ops.flash_attention import flash_eligible_train
+
+        assert not flash_eligible_train(8, 8192, 64, 2)  # CPU platform
+
     def test_inference_context_routes(self):
         """The trace-time context flag controls routing (pure path on CPU)."""
         import math
