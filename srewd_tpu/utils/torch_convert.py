@@ -245,3 +245,96 @@ def _convert_trunk(sd) -> dict:
 
     _block_into(tree, ["Block_0"], sd, "final_conv")
     return tree
+
+
+# --------------------------------------------------------------- encoders
+def convert_simple_cnn_state(state_dict) -> dict:
+    """Reference SimpleCNN (Simple_CNN.py:17-22) -> models.simple_cnn params.
+
+    Direct conv1/2/3 -> Conv_0/1/2 map; the pixel shuffle on both sides
+    uses torch's channel ordering, so no channel permutation is needed.
+    """
+    tree: dict = {}
+    for i, name in enumerate(("conv1", "conv2", "conv3")):
+        _set(tree, [f"Conv_{i}"], "kernel", _conv(state_dict[f"{name}.weight"]))
+        _set(tree, [f"Conv_{i}"], "bias", _np(state_dict[f"{name}.bias"]))
+    return tree
+
+
+def convert_rrdb_state(state_dict) -> dict:
+    """Reference RRDBNet (rrdb_encoder/RRDBNet.py:26-34) -> models.rrdb params.
+
+    conv_first->Conv_0, RRDB_trunk.{i}.RDB{r}.conv{c} ->
+    RRDB_{i}/ResidualDenseBlock5C_{r-1}/Conv_{c-1}, then trunk_conv/upconv1/
+    upconv2/HRconv/conv_last -> Conv_1..Conv_5 (flax call order).
+    """
+    sd = state_dict
+    tree: dict = {}
+    _set(tree, ["Conv_0"], "kernel", _conv(sd["conv_first.weight"]))
+    _set(tree, ["Conv_0"], "bias", _np(sd["conv_first.bias"]))
+    nb = 0
+    while f"RRDB_trunk.{nb}.RDB1.conv1.weight" in sd:
+        nb += 1
+    for i in range(nb):
+        for r in range(1, 4):
+            for c in range(1, 6):
+                w = sd[f"RRDB_trunk.{i}.RDB{r}.conv{c}.weight"]
+                b = sd[f"RRDB_trunk.{i}.RDB{r}.conv{c}.bias"]
+                path = [f"RRDB_{i}", f"ResidualDenseBlock5C_{r - 1}", f"Conv_{c - 1}"]
+                _set(tree, path, "kernel", _conv(w))
+                _set(tree, path, "bias", _np(b))
+    for j, name in enumerate(
+        ("trunk_conv", "upconv1", "upconv2", "HRconv", "conv_last"), start=1
+    ):
+        _set(tree, [f"Conv_{j}"], "kernel", _conv(sd[f"{name}.weight"]))
+        _set(tree, [f"Conv_{j}"], "bias", _np(sd[f"{name}.bias"]))
+    return tree
+
+
+# ------------------------------------------------- full diffusion checkpoint
+# Schedule buffers registered by GaussianDiffusion (diffusion.py:49-96);
+# derived from the beta schedule at runtime here, never loaded.
+_SCHEDULE_BUFFERS = (
+    "betas", "alphas_cumprod", "alphas_cumprod_prev",
+    "sqrt_alphas_cumprod", "sqrt_one_minus_alphas_cumprod",
+    "log_one_minus_alphas_cumprod", "sqrt_recip_alphas_cumprod",
+    "sqrt_recipm1_alphas_cumprod", "posterior_variance",
+    "posterior_log_variance_clipped", "posterior_mean_coef1",
+    "posterior_mean_coef2",
+)
+
+
+def convert_diffusion_checkpoint(state_dict, variant: str) -> dict:
+    """Reference `I{iter}_E{epoch}_gen.pth` (the <Arch>Diffusion state dict,
+    DDPM.save_network at model.py:183-186) -> DiffusionModel params layout
+    {'unet': ..., ['encoder': ...]}.
+
+    Splits on the reference's member names: `denoise_fn.*` is the UNet,
+    `cnn.*` (resdiff_diffusion.py:50) a SimpleCNN encoder, `rrdb_encoder.*`
+    (srdiff_diffusion.py:69) an RRDBNet; schedule buffers are dropped
+    (re-derived from config). Keys that fit none of these raise.
+    """
+    unet_sd, cnn_sd, rrdb_sd = {}, {}, {}
+    for k, v in state_dict.items():
+        if k.startswith("denoise_fn."):
+            unet_sd[k[len("denoise_fn."):]] = v
+        elif k.startswith("cnn."):
+            cnn_sd[k[len("cnn."):]] = v
+        elif k.startswith("rrdb_encoder."):
+            rrdb_sd[k[len("rrdb_encoder."):]] = v
+        elif k in _SCHEDULE_BUFFERS:
+            continue
+        else:
+            raise ValueError(f"unrecognized checkpoint key: {k}")
+    if not unet_sd:
+        raise ValueError(
+            "no denoise_fn.* keys — is this a _gen.pth diffusion checkpoint? "
+            "(for encoder pretrain checkpoints use convert_rrdb_state / "
+            "convert_simple_cnn_state directly)"
+        )
+    out = {"unet": convert_unet_state(unet_sd, variant)}
+    if cnn_sd:
+        out["encoder"] = convert_simple_cnn_state(cnn_sd)
+    if rrdb_sd:
+        out["encoder"] = convert_rrdb_state(rrdb_sd)
+    return out
