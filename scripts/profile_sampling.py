@@ -9,8 +9,15 @@ end — the axon remote backend's block_until_ready is a no-op), and the
 results are rolled up against per-op FLOP counts into a
 %-of-peak-per-level table plus a reconstruction of the full step time.
 
+The axon remote backend adds a large, day-varying dispatch+fetch round
+trip to every run (measured up to ~27 s on congested days), which a
+K-iteration scan only divides by K — so a null scan (carry + 1.0) is timed
+with the same K and subtracted from every per-op number, and the full-chain
+figure subtracts the same RTT estimate once. Raw numbers are reported
+alongside.
+
 Run on TPU: python scripts/profile_sampling.py
-Env: PROF_BATCH (8), PROF_ITERS (50), PROF_DTYPE (bf16)
+Env: PROF_BATCH (8), PROF_ITERS (200), PROF_DTYPE (bf16)
 """
 
 import json
@@ -24,7 +31,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 B = int(os.environ.get("PROF_BATCH", "8"))
-ITERS = int(os.environ.get("PROF_ITERS", "50"))
+ITERS = int(os.environ.get("PROF_ITERS", "200"))
 PEAK_TFLOPS = 197.0  # v5e bf16
 HBM_GBPS = 819.0
 
@@ -69,6 +76,15 @@ def main():
     rng = np.random.default_rng(0)
     results = []
 
+    # per-run dispatch+fetch RTT baseline: a K-iteration null scan costs
+    # RTT + K*epsilon; subtracting its per-iteration figure from every op
+    # removes the (large, day-varying) remote round trip
+    null_x = jnp.zeros((8, 128), jnp.float32)
+    null_dt = timed_scan(lambda y: y + 1.0, null_x)
+    print(json.dumps({"op": "null scan (RTT baseline)",
+                      "us": round(null_dt * 1e6, 1),
+                      "rtt_est_ms": round(null_dt * ITERS * 1e3, 1)}))
+
     # sr3 UNet structure at 128x256, inner 64, mults (1,2,4,8,8), res_blocks 2,
     # attn at height 16 (level 3). Per level: (H, W, C, n_trunk_convs) where
     # trunk convs are the 3x3 C->C convs of the res blocks (down 2 blocks x2
@@ -89,11 +105,13 @@ def main():
             fn = lambda y: m.apply(params, y).astype(y.dtype)  # noqa: E731
         else:
             fn = m
-        dt = timed_scan(fn, x)
+        dt_raw = timed_scan(fn, x)
+        dt = max(dt_raw - null_dt, 1e-9)  # RTT-corrected
         pct_peak = flops / dt / (PEAK_TFLOPS * 1e12) * 100.0
         hbm_pct = bytes_moved / dt / (HBM_GBPS * 1e9) * 100.0
         results.append({
             "op": name, "shape": [B, h, w, c], "us": round(dt * 1e6, 1),
+            "us_raw": round(dt_raw * 1e6, 1),
             "gflop": round(flops / 1e9, 2), "pct_mxu_peak": round(pct_peak, 1),
             "pct_hbm_peak": round(hbm_pct, 1),
         })
@@ -175,8 +193,10 @@ def main():
         t0 = time.perf_counter()
         float(jnp.sum(sample(params, hr, lr, jax.random.fold_in(key, i)).astype(jnp.float32)))
         times.append(time.perf_counter() - t0)
-    step_ms = min(times) / 100 * 1e3
+    rtt = null_dt * ITERS
+    step_ms = max(min(times) - rtt, 0.0) / 100 * 1e3
     print(json.dumps({"full_chain_step_ms": round(step_ms, 2),
+                      "full_chain_step_ms_raw": round(min(times) / 100 * 1e3, 2),
                       "other_ms": round(step_ms - recon * 1e3, 2)}))
 
 

@@ -244,9 +244,11 @@ def inference_attention():
 _CA_REMAT = _os.environ.get("SREWD_CA_REMAT", "0") == "1"
 
 # Differentiable Pallas flash attention on TRAINING paths (fwd + bwd
-# kernels, ops/flash_attention.py). Opt-in while under measurement:
-# the no-remat chunked XLA path is the current recorded best for training.
-_FLASH_TRAIN = _os.environ.get("SREWD_FLASH_TRAIN", "0") == "1"
+# kernels, ops/flash_attention.py). Default ON: measured same-day A/B on
+# v5e at batch 16 bf16 — phydiff 5.49 steps/s (27.0% MFU) vs 4.01 (19.7%)
+# on the no-remat chunked XLA path, a 1.37x step speedup.
+# SREWD_FLASH_TRAIN=0 falls back to the chunked path.
+_FLASH_TRAIN = _os.environ.get("SREWD_FLASH_TRAIN", "1") == "1"
 
 # Cap on the materialized [B, chunk, N] attention slab (bytes, f32).
 # Empirically pinned on v5e-1: 64 MB (256-row chunks at the 8192-token map,
