@@ -118,6 +118,17 @@ def main():
         print(json.dumps(results[-1]))
         return dt
 
+    # candidate rewrite for the C=64 full-res bottleneck (ops/s2d_conv.py)
+    from srewd_tpu.ops.s2d_conv import conv3x3_s2d
+
+    def s2d_op(c):
+        k = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, dtype)
+
+        def fn(y):
+            return conv3x3_s2d(y, k).astype(y.dtype)
+
+        return fn
+
     itemsize = 2 if dtype == jnp.bfloat16 else 4
     conv_t, gn_t, attn_t = {}, {}, {}
     for h, w, c in LEVELS:
@@ -135,6 +146,14 @@ def main():
             lambda: FusedGroupNorm(num_groups=32, with_swish=True, dtype=dtype),
             gn_flops, gn_bytes,
         )
+    # the s2d-W rewrite at the two shapes where the direct conv underfills
+    # the MXU output tile (c_out=64); FLOPs counted as the ORIGINAL conv's
+    # so pct_mxu_peak is directly comparable to the direct rows
+    h0, w0, c0 = LEVELS[0]
+    bench_shape("conv3x3 64->64 s2d-W", h0, w0, c0, lambda: s2d_op(c0),
+                B * h0 * w0 * 9 * c0 * c0 * 2,
+                2 * B * h0 * w0 * c0 * itemsize + 9 * 4 * c0 * c0 * itemsize)
+
     # bottleneck self-attention at level 3 (16x32 = 512 tokens, C=512)
     h, w, c = 16, 32, 512
     npx = h * w

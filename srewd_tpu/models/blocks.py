@@ -133,6 +133,54 @@ class FusedGroupNorm(nn.Module):
         )
 
 
+# s2d conv rewrite for MXU-underfilling 3x3 convs (ops/s2d_conv.py):
+# profiling measured the C=64 full-res convs at 26% of MXU peak vs 94-96%
+# for C>=128 (DESIGN §1). SREWD_S2D_CONV=0 disables the routing;
+# "force" routes on any platform (tests exercise the path on CPU).
+def _s2d_mode() -> str:
+    return _os.environ.get("SREWD_S2D_CONV", "1")
+
+
+class Conv(nn.Conv):
+    """nn.Conv that routes MXU-underfilling 3x3 SAME convs through the
+    exact W-paired space-to-depth rewrite on TPU (ops/s2d_conv.py).
+
+    Subclasses nn.Conv under the same class NAME so flax auto-naming — and
+    therefore every checkpoint and the torch weight converter — sees the
+    identical `Conv_{i}/kernel` tree. Non-eligible shapes (or
+    SREWD_S2D_CONV=0, or non-TPU platforms) take nn.Conv's path untouched.
+    """
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.s2d_conv import conv3x3_s2d, s2d_profitable
+
+        mode = _s2d_mode()
+        eligible = (
+            mode != "0"
+            and tuple(self.kernel_size) == (3, 3)
+            and self.strides in (None, 1, (1, 1))
+            and self.padding in (1, "SAME", ((1, 1), (1, 1)))
+            and self.feature_group_count == 1
+            and x.ndim == 4
+            and x.shape[-2] % 2 == 0
+            and s2d_profitable(x.shape[-1], self.features)
+            and (jax.devices()[0].platform == "tpu" or mode == "force")
+        )
+        if not eligible:
+            return super().__call__(x)
+        kernel = self.param(
+            "kernel", self.kernel_init, (3, 3, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,), self.param_dtype)
+            if self.use_bias else None
+        )
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        return conv3x3_s2d(x, kernel, bias)
+
+
 class Block(nn.Module):
     """GroupNorm -> Swish -> Dropout -> Conv3x3. Reference: resnet.py:7-28."""
 
@@ -148,7 +196,7 @@ class Block(nn.Module):
         )(x)
         if self.dropout > 0.0:
             h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
-        h = nn.Conv(
+        h = Conv(
             self.dim_out, (3, 3), padding=1, kernel_init=default_kernel_init, dtype=self.dtype
         )(h)
         return h
@@ -363,7 +411,7 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = upsample_nearest2x(x)
-        return nn.Conv(
+        return Conv(
             x.shape[-1], (3, 3), padding=1, kernel_init=default_kernel_init, dtype=self.dtype
         )(x)
 

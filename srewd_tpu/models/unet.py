@@ -47,6 +47,7 @@ from ..ops.finite_diff import fd_stencils
 from ..ops.wavelets import haar_dwt_pyramid
 from .blocks import (
     Block,
+    Conv,
     CrossAttention,
     Downsample,
     NoiseLevelMLP,
@@ -158,7 +159,7 @@ class WeatherUNet(nn.Module):
         # ---- down path (bookkeeping mirrors sr3/unet.py:60-75) ----
         feats: list[jnp.ndarray] = []
         feat_channels: list[int] = [self.inner_channel]
-        x = nn.Conv(
+        x = Conv(
             self.inner_channel, (3, 3), padding=1, kernel_init=default_kernel_init,
             dtype=self.dtype,
         )(x)

@@ -355,6 +355,105 @@ class TestFlashAttention:
                     err_msg=f"d{name} mismatch at {(b, n, d)}",
                 )
 
+    def test_s2d_conv_exact(self):
+        """W-paired conv rewrite (ops/s2d_conv.py) == direct SAME 3x3 conv."""
+        import jax
+
+        from srewd_tpu.ops.s2d_conv import conv3x3_s2d, s2d_profitable
+
+        rng = np.random.default_rng(9)
+        for (b, h, w, c, o) in [(2, 8, 16, 5, 7), (1, 4, 6, 64, 64),
+                                (2, 6, 8, 128, 64)]:
+            x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+            k = jnp.asarray(rng.standard_normal((3, 3, c, o)) * 0.1, jnp.float32)
+            bias = jnp.asarray(rng.standard_normal((o,)), jnp.float32)
+            want = jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias
+            got = conv3x3_s2d(x, k, bias)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-4)
+        assert s2d_profitable(64, 64) and s2d_profitable(128, 64)
+        assert not s2d_profitable(128, 128)
+
+    def test_s2d_conv_grads_flow(self):
+        """The kernel transform is differentiable (training-safe)."""
+        import jax
+
+        from srewd_tpu.ops.s2d_conv import conv3x3_s2d
+
+        rng = np.random.default_rng(10)
+        x = jnp.asarray(rng.standard_normal((1, 4, 6, 8)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 8, 8)) * 0.1, jnp.float32)
+
+        def loss_s2d(k):
+            return jnp.sum(conv3x3_s2d(x, k) ** 2)
+
+        def loss_ref(k):
+            return jnp.sum(jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_s2d)(k)),
+            np.asarray(jax.grad(loss_ref)(k)), atol=1e-3)
+
+    def test_s2d_routing_conv_same_tree_and_output(self, monkeypatch):
+        """blocks.Conv (the nn.Conv subclass that routes eligible shapes
+        through the s2d rewrite) must keep the identical param tree AND
+        output as nn.Conv — forced on CPU via SREWD_S2D_CONV=force."""
+        import jax
+        from flax import linen
+
+        from srewd_tpu.models import blocks
+
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.standard_normal((2, 8, 16, 64)), jnp.float32)
+        key = jax.random.key(0)
+
+        plain = linen.Conv(64, (3, 3), padding=1)
+        routed = blocks.Conv(64, (3, 3), padding=1)
+
+        monkeypatch.setenv("SREWD_S2D_CONV", "force")
+        params_routed = routed.init(key, x)
+        monkeypatch.setenv("SREWD_S2D_CONV", "0")
+        params_plain = plain.init(key, x)
+
+        # identical tree (names + shapes) -> checkpoints/converters unaffected
+        assert jax.tree_util.tree_structure(params_plain) == \
+            jax.tree_util.tree_structure(params_routed)
+        want = plain.apply(params_plain, x)
+        monkeypatch.setenv("SREWD_S2D_CONV", "force")
+        got = routed.apply(params_plain, x)  # same weights, routed math
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+        # ineligible shape falls back identically under force
+        x5 = jnp.asarray(rng.standard_normal((2, 8, 15, 64)), jnp.float32)  # odd W
+        got5 = routed.apply(params_plain, x5)
+        want5 = plain.apply(params_plain, x5)
+        np.testing.assert_allclose(np.asarray(got5), np.asarray(want5), atol=1e-4)
+
+    def test_s2d_unet_forward_equivalence(self, monkeypatch):
+        """Full WeatherUNet forward: routed (forced) == unrouted, same params."""
+        import jax
+
+        from srewd_tpu.models.unet import WeatherUNet
+
+        net = WeatherUNet(
+            variant="sr3", in_channel=2, out_channel=1, inner_channel=16,
+            norm_groups=8, channel_mults=(1, 2), attn_res=(4,), res_blocks=1,
+            dropout=0.0, image_height=8, image_width=16, image_channels=1,
+        )
+        rng = np.random.default_rng(13)
+        x = jnp.asarray(rng.standard_normal((2, 8, 16, 2)), jnp.float32)
+        lvl = jnp.asarray([0.5, 0.9], jnp.float32)
+        monkeypatch.setenv("SREWD_S2D_CONV", "0")
+        params = net.init(jax.random.key(0), x, lvl)
+        want = net.apply(params, x, lvl, train=False)
+        monkeypatch.setenv("SREWD_S2D_CONV", "force")
+        got = net.apply(params, x, lvl, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
     def test_train_route_knob(self):
         """SREWD_FLASH_TRAIN routes training-path CA through the trainable
         kernel only when eligible (never on CPU)."""
