@@ -135,10 +135,15 @@ class FusedGroupNorm(nn.Module):
 
 # s2d conv rewrite for MXU-underfilling 3x3 convs (ops/s2d_conv.py):
 # profiling measured the C=64 full-res convs at 26% of MXU peak vs 94-96%
-# for C>=128 (DESIGN §1). SREWD_S2D_CONV=0 disables the routing;
-# "force" routes on any platform (tests exercise the path on CPU).
+# for C>=128, and the rewrite 1.29x faster in ISOLATION — but default OFF:
+# inside the real sampling scan the same-day end-to-end A/B REGRESSED
+# 2.5x (0.636 -> 0.257 fields/s), because the isolated bench's kernel was
+# a jit constant (transform constant-folded) while the chain passes
+# weights as arguments and XLA does not hoist the per-step transform (see
+# scripts/profile_s2d_chain.py). SREWD_S2D_CONV=1 opts in; "force" routes
+# on any platform (tests exercise the path on CPU).
 def _s2d_mode() -> str:
-    return _os.environ.get("SREWD_S2D_CONV", "1")
+    return _os.environ.get("SREWD_S2D_CONV", "0")
 
 
 class Conv(nn.Conv):

@@ -32,21 +32,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# paired-tap index table: entry [m, dj_in, dj_out] selects original kj
+# = 2(m-1) + dj_in - dj_out + 1, remapped into a kj-axis zero-padded by 2
+# on each side (out-of-range taps land on structural zeros). Built once.
+_TAP_IDX = np.array(
+    [[[2 * (m - 1) + a - b + 1 + 2 for b in range(2)] for a in range(2)]
+     for m in range(3)], np.int32)  # [3 (m), 2 (dj_in), 2 (dj_out)]
+
+
 def s2d_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
-    """[3, 3, C, O] SAME-conv kernel -> [3, 3, 2C, 2O] W-paired kernel."""
+    """[3, 3, C, O] SAME-conv kernel -> [3, 3, 2C, 2O] W-paired kernel.
+
+    Implemented as pad + static gather + transpose + reshape (pure data
+    movement, no scatters) so that when the transform is traced inside a
+    sampling scan with the weights as loop-invariant inputs, XLA's
+    while-loop LICM can hoist it out of the chain."""
     kh, kw, c, o = kernel.shape
     if (kh, kw) != (3, 3):
         raise ValueError(f"s2d rewrite is for 3x3 kernels, got {(kh, kw)}")
-    out = jnp.zeros((3, 3, 2 * c, 2 * o), kernel.dtype)
-    for m in range(3):  # paired-W tap index (offset m-1)
-        for dj_in in range(2):
-            for dj_out in range(2):
-                kj = (2 * (m - 1) + dj_in - dj_out) + 1
-                if 0 <= kj < 3:
-                    out = out.at[
-                        :, m, dj_in * c:(dj_in + 1) * c, dj_out * o:(dj_out + 1) * o
-                    ].set(kernel[:, kj])
-    return out
+    kp = jnp.pad(kernel, ((0, 0), (2, 2), (0, 0), (0, 0)))  # kj-axis -> 7
+    g = jnp.take(kp, jnp.asarray(_TAP_IDX.reshape(-1)), axis=1)
+    g = g.reshape(3, 3, 2, 2, c, o)            # [ki, m, dj_in, dj_out, c, o]
+    g = g.transpose(0, 1, 2, 4, 3, 5)          # [ki, m, dj_in, c, dj_out, o]
+    return g.reshape(3, 3, 2 * c, 2 * o)
 
 
 def conv3x3_s2d(x: jnp.ndarray, kernel: jnp.ndarray,
