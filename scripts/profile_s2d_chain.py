@@ -82,6 +82,35 @@ def main():
         dt = max(timed(body, x, arg) - null, 1e-9)
         print(json.dumps({"variant": name, "us": round(dt * 1e6, 1)}))
 
+    # every eligible site shape of the real sr3 UNet at 128x256 — the
+    # end-to-end A/B regressed even though 64->64 wins, so one of these
+    # must be pathological. Bodies map C_out back to C_in via a 1x1 so the
+    # scan carry keeps its shape.
+    sites = [("stem 2->64", 2, 64), ("trunk 64->64", 64, 64),
+             ("upcat 128->64", 128, 64), ("final 64->1", 64, 1)]
+    for name, cin, cout in sites:
+        xs = jnp.asarray(rng.standard_normal((B, H, W, cin)), dtype)
+        ks = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.05, dtype)
+        back = jnp.asarray(rng.standard_normal((1, 1, cout, cin)) * 0.05, dtype)
+
+        def direct_site(y, ks, back):
+            h = jax.lax.conv_general_dilated(
+                y, ks, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jax.lax.conv_general_dilated(
+                h, back, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(y.dtype)
+
+        def s2d_site(y, ks, back):
+            h = conv3x3_s2d(y, ks)
+            return jax.lax.conv_general_dilated(
+                h, back, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(y.dtype)
+
+        d0 = max(timed(direct_site, xs, ks, back) - null, 1e-9)
+        d1 = max(timed(s2d_site, xs, ks, back) - null, 1e-9)
+        print(json.dumps({"site": name, "direct_us": round(d0 * 1e6, 1),
+                          "s2d_us": round(d1 * 1e6, 1)}))
+
 
 if __name__ == "__main__":
     main()
