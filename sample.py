@@ -7,6 +7,13 @@ Loads a trained diffusion model and renders the SR field for a specific date
 Usage:
     python sample.py -c <cfg>.json -m <checkpoint_path> -d 2017-01-01-00 \
         [-i SR HR ABS_ERROR] [-cm heat_vibrant]
+
+Bulk production mode (beyond the reference, which renders a single date or
+the first val batch): super-resolve EVERY hour of a window and write the
+fields in physical units (Kelvin) as per-hour .npy files plus a throughput
+summary —
+    python sample.py -c <cfg>.json -m <ckpt> \
+        --date-range 2017-01-01-00 2017-02-01-00 --batch-size 8 --save-npy
 """
 
 from __future__ import annotations
@@ -22,6 +29,15 @@ def main():
                         help="checkpoint to load (overrides path.resume_state)")
     parser.add_argument("-d", "--date", type=str, default=None,
                         help="date %%Y-%%m-%%d-%%H to super-resolve")
+    parser.add_argument("--date-range", nargs=2, metavar=("START", "END"),
+                        default=None,
+                        help="bulk mode: super-resolve every hour in "
+                             "[START, END) and write per-hour SR .npy files")
+    parser.add_argument("--batch-size", type=int, default=8,
+                        help="bulk-mode sampling batch size")
+    parser.add_argument("--save-npy", action="store_true",
+                        help="bulk mode: write SR fields (Kelvin) as "
+                             "<out>/sr/<timestamp>.npy")
     parser.add_argument("-i", "--image_types", nargs="*", default=None)
     parser.add_argument("-cm", "--cmap", type=str, default="heat_vibrant")
     parser.add_argument("-o", "--output", type=str, default="samples_out")
@@ -53,7 +69,17 @@ def main():
         opt["path"]["resume_state"] = args.model_path
 
     overrides = {}
-    if args.date:
+    if args.date_range:
+        start, end = args.date_range
+        ts_all = np.arange(parse_date(start), parse_date(end),
+                           np.timedelta64(1, "h"))
+        if len(ts_all) == 0:
+            raise SystemExit(f"empty date range [{start}, {end})")
+        months = sorted(int(m) for m in set(months_of(ts_all)))
+        overrides = dict(val_min_date=start, val_max_date=end,
+                         months_subset=months,
+                         val_batch_size=int(args.batch_size))
+    elif args.date:
         # reference: restrict months_subset and the val window to the date
         # (sample.py:49-52); transforms are fitted on the same window
         month = int(months_of(np.array([parse_date(args.date)]))[0])
@@ -79,6 +105,9 @@ def main():
             sampler=args.sampler, ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta
         )
 
+    if args.date_range:
+        return _bulk_sample(args, opt, dh, logger)
+
     batch = dh.get_data_by_date(args.date) if args.date else next(iter(dh.val_batches()))
     trainer = build_trainer(opt, batch)
 
@@ -100,6 +129,64 @@ def main():
         os.path.join(args.output, tag), image_types=args.image_types, cmap=args.cmap
     )
     logger.info(f"Saved {len(saved)} images to {args.output}")
+
+
+def _bulk_sample(args, opt, dh, logger):
+    """Super-resolve every hour of the window in fixed-size device batches.
+
+    The last partial batch is padded (repeating its final timestamp) so the
+    jitted sampler sees ONE static shape — no recompilation — and the pad
+    rows are dropped before writing. Fields are written de-normalized
+    (Kelvin) as <output>/sr/<YYYY-MM-DD-HH>.npy.
+    """
+    import json
+    import time
+
+    import numpy as np
+
+    from srewd_tpu.cli import build_trainer
+    from srewd_tpu.data.timeindex import format_date
+
+    ts_all = dh.val_timestamps
+    bs = int(args.batch_size)
+    first = dh.assemble(ts_all[:bs] if len(ts_all) >= bs else
+                        np.resize(ts_all, bs))
+    trainer = build_trainer(opt, first)
+
+    sr_dir = os.path.join(args.output, "sr")
+    if args.save_npy:
+        os.makedirs(sr_dir, exist_ok=True)
+
+    n_done = 0
+    t_start = time.perf_counter()
+    t_after_first = None
+    for lo in range(0, len(ts_all), bs):
+        chunk = ts_all[lo:lo + bs]
+        pad = bs - len(chunk)
+        ts_batch = np.concatenate([chunk, np.repeat(chunk[-1:], pad)]) if pad else chunk
+        batch = dh.assemble(ts_batch)
+        sr = np.asarray(trainer.sample_batch(batch))
+        inv = dh.inverse_transform({"SR": sr}, batch["months"])["SR"]
+        if args.save_npy:
+            for i, ts in enumerate(chunk):  # pad rows dropped
+                np.save(os.path.join(sr_dir, f"{format_date(ts)}.npy"), inv[i])
+        n_done += len(chunk)
+        if t_after_first is None:
+            t_after_first = time.perf_counter()
+        logger.info(f"sampled {n_done}/{len(ts_all)} fields")
+    total_s = time.perf_counter() - t_start
+    steady = (n_done - bs) / (time.perf_counter() - t_after_first) if n_done > bs else None
+    summary = {
+        "fields": int(n_done),
+        "total_sec": round(total_s, 2),
+        "fields_per_sec_total": round(n_done / total_s, 4),
+        "fields_per_sec_steady": round(steady, 4) if steady else None,
+        "output": sr_dir if args.save_npy else None,
+    }
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    logger.info(f"bulk sampling done: {json.dumps(summary)}")
 
 
 if __name__ == "__main__":
