@@ -142,6 +142,13 @@ def main():
         "unit": "steps/sec/chip",
         "samples_per_sec": round(BATCH / dt, 2),
     }
+    baseline = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "BASELINE_MEASURED.json")
+    if os.path.exists(baseline):
+        with open(baseline) as f:
+            ref = json.load(f)
+        ref_sps = ref["reference_train_steps_per_sec"] * ref["reference_train_batch"]
+        out["vs_baseline"] = round((BATCH / dt) / ref_sps, 2)  # per-sample ratio
     if step_flops:
         # v5e bf16 peak 197 TFLOP/s (f32 runs at half MXU rate)
         peak = 197e12 if DTYPE == "bf16" else 197e12 / 2
