@@ -148,9 +148,16 @@ def _bulk_sample(args, opt, dh, logger):
     from srewd_tpu.data.timeindex import format_date
 
     ts_all = dh.val_timestamps
+    if len(ts_all) == 0:
+        raise SystemExit(
+            "no data available in the requested window — the range does not "
+            "intersect the dataset's timestamps (or its months are outside "
+            "months_subset)"
+        )
     bs = int(args.batch_size)
     first = dh.assemble(ts_all[:bs] if len(ts_all) >= bs else
-                        np.resize(ts_all, bs))
+                        np.concatenate([ts_all, np.repeat(ts_all[-1:],
+                                                          bs - len(ts_all))]))
     trainer = build_trainer(opt, first)
 
     sr_dir = os.path.join(args.output, "sr")
@@ -163,9 +170,15 @@ def _bulk_sample(args, opt, dh, logger):
     for lo in range(0, len(ts_all), bs):
         chunk = ts_all[lo:lo + bs]
         pad = bs - len(chunk)
-        ts_batch = np.concatenate([chunk, np.repeat(chunk[-1:], pad)]) if pad else chunk
-        batch = dh.assemble(ts_batch)
-        sr = np.asarray(trainer.sample_batch(batch))
+        if lo == 0 and pad == 0:
+            batch = first  # already assembled for trainer construction
+        else:
+            ts_batch = (np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
+                        if pad else chunk)
+            batch = dh.assemble(ts_batch)
+        # fold the batch offset into the RNG key: every batch must draw its
+        # own noise realization (the train step counter is fixed here)
+        sr = np.asarray(trainer.sample_batch(batch, fold=lo + 1))
         inv = dh.inverse_transform({"SR": sr}, batch["months"])["SR"]
         if args.save_npy:
             for i, ts in enumerate(chunk):  # pad rows dropped
@@ -180,7 +193,7 @@ def _bulk_sample(args, opt, dh, logger):
         "fields": int(n_done),
         "total_sec": round(total_s, 2),
         "fields_per_sec_total": round(n_done / total_s, 4),
-        "fields_per_sec_steady": round(steady, 4) if steady else None,
+        "fields_per_sec_steady": round(steady, 4) if steady is not None else None,
         "output": sr_dir if args.save_npy else None,
     }
     os.makedirs(args.output, exist_ok=True)

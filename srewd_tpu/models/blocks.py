@@ -167,6 +167,8 @@ class Conv(nn.Conv):
             and self.strides in (None, 1, (1, 1))
             and self.padding in (1, "SAME", ((1, 1), (1, 1)))
             and self.feature_group_count == 1
+            and self.kernel_dilation in (None, 1, (1, 1))
+            and self.input_dilation in (None, 1, (1, 1))
             and x.ndim == 4
             and x.shape[-2] % 2 == 0
             and s2d_profitable(x.shape[-1], self.features)

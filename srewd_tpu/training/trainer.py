@@ -159,6 +159,10 @@ class DiffusionTrainer:
         self.params = jax.device_put(
             merge(self.params, loaded), replicated_sharding(self.mesh)
         )
+        if self.ema_params is not None:
+            # re-seed the EMA from the loaded weights — otherwise it keeps
+            # tracking the random init for ~1/(1-decay) steps
+            self.ema_params = jax.tree.map(jnp.copy, self.params)
 
     def save(self) -> Optional[str]:
         if self.ckpt is None:
@@ -196,10 +200,16 @@ class DiffusionTrainer:
             self.ema_params = self._ema_step(self.ema_params, self.params, self.ema_decay)
         return float(loss)
 
-    def sample_batch(self, batch: dict, use_ema: bool = False) -> jnp.ndarray:
+    def sample_batch(self, batch: dict, use_ema: bool = False,
+                     fold: int = 0) -> jnp.ndarray:
+        """fold: extra key diversifier for multi-batch inference at a fixed
+        train step (e.g. bulk date-range sampling) — without it every batch
+        would draw the identical noise realization."""
         b = self._device_batch(batch)
         params = self.ema_params if (use_ema and self.ema_params is not None) else self.params
         key = jax.random.fold_in(self.base_key, 2_000_000_000 + self.step)
+        if fold:
+            key = jax.random.fold_in(key, fold)
         return self._sample_val(params, b["HR"], b["LR"], b["months"], key)
 
 

@@ -191,6 +191,21 @@ class TestFinetuneNorm:
         assert t2.step == 0 and t2.epoch == 0  # counters stay fresh
         t2.train_on_batch(_batch(2))  # fresh opt_state still usable
 
+    def test_tolerant_load_reseeds_ema(self, tmp_path):
+        """With EMA enabled, load_params_tolerant must re-seed ema_params
+        from the loaded weights — otherwise the EMA keeps tracking the
+        random init for ~1/(1-decay) steps."""
+        t1 = _trainer(str(tmp_path / "ck"))
+        t1.init_params(_batch(0))
+        t1.train_on_batch(_batch(1))
+        path = t1.save()
+
+        t2 = _trainer(ema=0.9999)
+        t2.init_params(_batch(0))
+        t2.load_params_tolerant(path)
+        for a, b in zip(_leaves(t2.ema_params), _leaves(t2.params)):
+            np.testing.assert_array_equal(a, b)
+
 
 class TestMetricsStreaming:
     def test_streaming_equals_direct(self):
