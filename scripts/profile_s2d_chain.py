@@ -106,10 +106,25 @@ def main():
                 h, back, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(y.dtype)
 
+        # pad-O variant: fill the 128-wide MXU output tile with a
+        # zero-padded kernel, slice the real channels after — the INPUT
+        # layout (unlike s2d) is untouched, so no relayout on the read side
+        def pado_site(y, ks, back):
+            kpad = jnp.pad(ks, ((0, 0), (0, 0), (0, 0), (0, 128 - ks.shape[-1]))) \
+                if ks.shape[-1] < 128 else ks
+            h = jax.lax.conv_general_dilated(
+                y, kpad, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., :ks.shape[-1]]
+            return jax.lax.conv_general_dilated(
+                h, back, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(y.dtype)
+
         d0 = max(timed(direct_site, xs, ks, back) - null, 1e-9)
         d1 = max(timed(s2d_site, xs, ks, back) - null, 1e-9)
+        d2 = max(timed(pado_site, xs, ks, back) - null, 1e-9)
         print(json.dumps({"site": name, "direct_us": round(d0 * 1e6, 1),
-                          "s2d_us": round(d1 * 1e6, 1)}))
+                          "s2d_us": round(d1 * 1e6, 1),
+                          "pad_o_us": round(d2 * 1e6, 1)}))
 
 
 if __name__ == "__main__":
