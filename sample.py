@@ -38,6 +38,11 @@ def main():
     parser.add_argument("--save-npy", action="store_true",
                         help="bulk mode: write SR fields (Kelvin) as "
                              "<out>/sr/<timestamp>.npy")
+    parser.add_argument("--ensemble", type=int, default=1,
+                        help="draw N independent SR realizations per field "
+                             "(probabilistic downscaling); outputs the "
+                             "ensemble mean, plus per-hour std maps in bulk "
+                             "mode")
     parser.add_argument("-i", "--image_types", nargs="*", default=None)
     parser.add_argument("-cm", "--cmap", type=str, default="heat_vibrant")
     parser.add_argument("-o", "--output", type=str, default="samples_out")
@@ -112,7 +117,17 @@ def main():
     trainer = build_trainer(opt, batch)
 
     logger.info("Sampling.")
-    sr = trainer.sample_batch(batch)
+    if args.ensemble > 1:
+        members = np.stack([
+            np.asarray(trainer.sample_batch(batch, fold=e + 1))
+            for e in range(args.ensemble)
+        ])
+        sr = members.mean(axis=0)
+        logger.info(f"ensemble of {args.ensemble}: "
+                    f"mean member spread {members.std(axis=0).mean():.4f} "
+                    "(normalized units)")
+    else:
+        sr = trainer.sample_batch(batch)
     images = {
         "SR": np.asarray(sr),
         "HR": batch["HR"],
@@ -160,9 +175,13 @@ def _bulk_sample(args, opt, dh, logger):
                                                           bs - len(ts_all))]))
     trainer = build_trainer(opt, first)
 
+    n_ens = max(1, int(args.ensemble))
     sr_dir = os.path.join(args.output, "sr")
+    std_dir = os.path.join(args.output, "sr_std")
     if args.save_npy:
         os.makedirs(sr_dir, exist_ok=True)
+        if n_ens > 1:
+            os.makedirs(std_dir, exist_ok=True)
 
     n_done = 0
     t_start = time.perf_counter()
@@ -176,13 +195,24 @@ def _bulk_sample(args, opt, dh, logger):
             ts_batch = (np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
                         if pad else chunk)
             batch = dh.assemble(ts_batch)
-        # fold the batch offset into the RNG key: every batch must draw its
-        # own noise realization (the train step counter is fixed here)
-        sr = np.asarray(trainer.sample_batch(batch, fold=lo + 1))
-        inv = dh.inverse_transform({"SR": sr}, batch["months"])["SR"]
+        # fold the batch offset (and ensemble member) into the RNG key:
+        # every draw must get its own noise realization (the train step
+        # counter is fixed here)
+        members = np.stack([
+            np.asarray(trainer.sample_batch(batch, fold=(lo + 1) * n_ens + e))
+            for e in range(n_ens)
+        ])  # [E, B, H, W, C]
+        inv_m = np.stack([
+            dh.inverse_transform({"SR": m}, batch["months"])["SR"]
+            for m in members
+        ])
+        inv = inv_m.mean(axis=0)
         if args.save_npy:
             for i, ts in enumerate(chunk):  # pad rows dropped
                 np.save(os.path.join(sr_dir, f"{format_date(ts)}.npy"), inv[i])
+                if n_ens > 1:
+                    np.save(os.path.join(std_dir, f"{format_date(ts)}.npy"),
+                            inv_m[:, i].std(axis=0))
         n_done += len(chunk)
         if t_after_first is None:
             t_after_first = time.perf_counter()
@@ -191,6 +221,7 @@ def _bulk_sample(args, opt, dh, logger):
     steady = (n_done - bs) / (time.perf_counter() - t_after_first) if n_done > bs else None
     summary = {
         "fields": int(n_done),
+        "ensemble": n_ens,
         "total_sec": round(total_s, 2),
         "fields_per_sec_total": round(n_done / total_s, 4),
         "fields_per_sec_steady": round(steady, 4) if steady is not None else None,

@@ -89,3 +89,25 @@ def test_bulk_date_range_cli(env_root):
     summary = json.loads((out / "summary.json").read_text())
     assert summary["fields"] == 6
     assert summary["fields_per_sec_total"] > 0
+
+
+def test_bulk_ensemble_cli(env_root):
+    """--ensemble N writes per-hour mean + std maps; members must differ
+    (each draw gets its own fold of the RNG key)."""
+    out = env_root / "out_ens"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "sample.py"),
+         "-c", str(env_root / "cfg.json"), "--platform", "cpu",
+         "--date-range", "2017-01-02-00", "2017-01-02-04",
+         "--batch-size", "4", "--save-npy", "--ensemble", "2",
+         "-o", str(out)],
+        capture_output=True, text=True, timeout=580, cwd=repo,
+        env=dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS=""),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    std = np.load(out / "sr_std" / "2017-01-02-01.npy")
+    assert std.shape == (32, 64, 1)
+    assert float(std.mean()) > 0.01  # members drew different noise
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["ensemble"] == 2 and summary["fields"] == 4
