@@ -302,8 +302,78 @@ _CA_REMAT = _os.environ.get("SREWD_CA_REMAT", "0") == "1"
 # kernels, ops/flash_attention.py). Default ON: measured same-day A/B on
 # v5e at batch 16 bf16 — phydiff 5.49 steps/s (27.0% MFU) vs 4.01 (19.7%)
 # on the no-remat chunked XLA path, a 1.37x step speedup.
-# SREWD_FLASH_TRAIN=0 falls back to the chunked path.
-_FLASH_TRAIN = _os.environ.get("SREWD_FLASH_TRAIN", "1") == "1"
+# SREWD_FLASH_TRAIN=0 falls back to the chunked path. Read at trace time so
+# tests can toggle it per-trainer.
+def _flash_train_enabled() -> bool:
+    return _os.environ.get("SREWD_FLASH_TRAIN", "1") == "1"
+
+
+# The active SPMD mesh, set (at trace time) by DiffusionTrainer around its
+# jitted step bodies. Under a multi-device mesh the flash kernels must run
+# per-shard via jax.shard_map over the 'data' axis — GSPMD has no partition
+# rule for pallas_call and would otherwise replicate the global batch
+# through the kernel. Without a mesh in scope, multi-device programs keep
+# the chunked XLA path (which GSPMD shards cleanly).
+_SPMD_MESH = contextvars.ContextVar("srewd_spmd_mesh", default=None)
+
+
+@contextlib.contextmanager
+def spmd_mesh(mesh):
+    token = _SPMD_MESH.set(mesh)
+    try:
+        yield
+    finally:
+        _SPMD_MESH.reset(token)
+
+
+# trace-time dispatch counter; tests assert the flash kernel actually
+# routed (a silent fallback to the chunked path would still be correct,
+# just slow — exactly the regression VERDICT r2 flagged)
+flash_route_count = 0
+
+
+def _flash_route(q, k, v, scale: float):
+    """Route to the Pallas flash kernel if eligible, else return None.
+
+    Single device: direct pallas_call. Multi-device: wrap in jax.shard_map
+    over the mesh 'data' axis (batch rows are independent, so the kernel is
+    embarrassingly shardable; forward AND custom-VJP backward both run
+    per-shard — verified grads match the global-program autodiff).
+    """
+    from ..ops import flash_attention as fa
+
+    b, n, c = q.shape
+    nshards = 1
+    mesh = _SPMD_MESH.get()
+    if jax.device_count() > 1:
+        if mesh is None:
+            return None
+        nshards = dict(mesh.shape).get("data", 1)
+        if b % nshards:
+            return None
+    if _INFERENCE_ATTN.get():
+        eligible, kernel = fa.flash_eligible, fa.flash_attention
+    elif _flash_train_enabled():
+        eligible, kernel = fa.flash_eligible_train, fa.flash_attention_trainable
+    else:
+        return None
+    if not eligible(b // nshards, n, c, q.dtype.itemsize):
+        return None
+    global flash_route_count
+    flash_route_count += 1
+    interp = fa.flash_interpret()
+    fn = lambda q_, k_, v_: kernel(q_, k_, v_, scale, interp)  # noqa: E731
+    if nshards > 1:
+        from jax.sharding import PartitionSpec as P
+
+        fn = jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data")),
+            out_specs=P("data"),
+            check_vma=False,  # pallas_call outputs carry no vma metadata
+        )
+    return fn(q, k, v)
 
 # Cap on the materialized [B, chunk, N] attention slab (bytes, f32).
 # Empirically pinned on v5e-1: 64 MB (256-row chunks at the 8192-token map,
@@ -324,19 +394,9 @@ def _chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: fl
     """
     b, n, c = q.shape
 
-    if _INFERENCE_ATTN.get():
-        from ..ops.flash_attention import flash_attention, flash_eligible
-
-        if flash_eligible(b, n, c, q.dtype.itemsize):
-            return flash_attention(q, k, v, scale)
-    elif _FLASH_TRAIN:
-        from ..ops.flash_attention import (
-            flash_attention_trainable,
-            flash_eligible_train,
-        )
-
-        if flash_eligible_train(b, n, c, q.dtype.itemsize):
-            return flash_attention_trainable(q, k, v, scale)
+    flashed = _flash_route(q, k, v, scale)
+    if flashed is not None:
+        return flashed
 
     def att(qc):
         a = jnp.einsum("bic,bjc->bij", qc, k, preferred_element_type=jnp.float32)

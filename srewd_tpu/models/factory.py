@@ -237,23 +237,19 @@ class DiffusionModel:
 
         from .blocks import inference_attention
 
-        if sampler == "ddim" and keep_every is not None:
-            raise ValueError(
-                "keep_every (continuous-mode frames) is only implemented for "
-                "the ddpm sampler; drop keep_every or use sampler='ddpm'"
-            )
         with inference_attention():  # no backward here -> flash kernel eligible
             if sampler == "ddim":
-                img, frames = ddim_sample_chain(
+                out = ddim_sample_chain(
                     schedule, denoise_fn, cond.shape, rng,
                     steps=ddim_steps, eta=ddim_eta, clip_denoised=clip_denoised,
-                ), None
+                    keep_every=keep_every,
+                )
             else:
                 out = sample_chain(
                     schedule, denoise_fn, cond.shape, rng,
                     clip_denoised=clip_denoised, keep_every=keep_every,
                 )
-                img, frames = out if keep_every is not None else (out, None)
+            img, frames = out if keep_every is not None else (out, None)
         if self.arch != "sr3":
             img = img + cond
             if frames is not None:
@@ -284,7 +280,12 @@ class DiffusionModel:
                 {"params": params["unet"]}, x_t, noise_level, train=False
             )
 
-        return sample_chain(schedule, denoise_fn, shape, rng, clip_denoised=clip_denoised)
+        from .blocks import inference_attention
+
+        with inference_attention():  # same flash routing as generate_sr
+            return sample_chain(
+                schedule, denoise_fn, shape, rng, clip_denoised=clip_denoised
+            )
 
 
 def build_model(model_cfg: dict, dtype=None) -> DiffusionModel:

@@ -31,6 +31,7 @@ chunked XLA backward's re-materialized probability slabs.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -54,16 +55,23 @@ def _pick_qb(n: int, score_bytes: int = _SCORE_BYTES) -> int | None:
 _SCORE_BYTES_BWD = 2 * 1024 * 1024
 
 
+def flash_interpret() -> bool:
+    """True when SREWD_FLASH_INTERPRET=1: route flash kernels in Pallas
+    interpret mode on any platform (CPU tests of the multi-device shard_map
+    routing; never set in production)."""
+    return os.environ.get("SREWD_FLASH_INTERPRET", "0") == "1"
+
+
 def flash_eligible(b: int, n: int, d: int, itemsize: int) -> bool:
-    if jax.devices()[0].platform != "tpu":
-        return False
-    if jax.device_count() > 1:
-        # Under a multi-device mesh the jitted sampler traces pallas_call
-        # with the GLOBAL (data-sharded) batch, which GSPMD cannot partition
-        # through the kernel — it would force replication or fail to lower.
-        # Only the measured single-chip context routes here; multi-chip
-        # sampling keeps the XLA chunked path (models/blocks.py), which
-        # GSPMD shards cleanly over the batch axis.
+    """Shape/platform eligibility for one device's shard.
+
+    `b` must be the PER-DEVICE batch: under a multi-device mesh the caller
+    (models/blocks._flash_route) wraps the pallas_call in jax.shard_map over
+    the mesh 'data' axis — GSPMD cannot partition a pallas_call traced at
+    the global batch, but per-shard the kernel is embarrassingly parallel
+    (batch rows are independent).
+    """
+    if jax.devices()[0].platform != "tpu" and not flash_interpret():
         return False
     if d % 8 or n % 8:
         return False

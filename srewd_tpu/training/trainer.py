@@ -71,16 +71,23 @@ class DiffusionTrainer:
 
     # ----------------------------------------------------------------- build
     def _build_steps(self):
-        model, tx = self.model, self.tx
+        from ..models.blocks import spmd_mesh
+
+        model, tx, mesh = self.model, self.tx, self.mesh
         sched_t = self.schedule_train
 
+        # `with spmd_mesh(mesh)` runs at TRACE time (the Python body of a
+        # jitted fn executes once, during tracing) — it tells the attention
+        # routing (models/blocks._flash_route) which mesh to shard_map the
+        # Pallas flash kernels over when device_count > 1.
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, hr, lr, months, key):
-            batch = {"HR": hr, "LR": lr, "SR": bicubic_up4(lr), "months": months}
-            loss, grads = jax.value_and_grad(model.loss)(params, batch, key, sched_t, True)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            with spmd_mesh(mesh):
+                batch = {"HR": hr, "LR": lr, "SR": bicubic_up4(lr), "months": months}
+                loss, grads = jax.value_and_grad(model.loss)(params, batch, key, sched_t, True)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss
 
         @jax.jit
         def ema_step(ema, params, decay):
@@ -91,8 +98,9 @@ class DiffusionTrainer:
         def make_sample_fn(schedule):
             @jax.jit
             def sample_step(params, hr, lr, months, key):
-                batch = {"HR": hr, "LR": lr, "SR": bicubic_up4(lr), "months": months}
-                return model.generate_sr(params, batch, key, schedule, **sampler_kwargs)
+                with spmd_mesh(mesh):
+                    batch = {"HR": hr, "LR": lr, "SR": bicubic_up4(lr), "months": months}
+                    return model.generate_sr(params, batch, key, schedule, **sampler_kwargs)
 
             return sample_step
 
@@ -102,9 +110,26 @@ class DiffusionTrainer:
 
     # ------------------------------------------------------------------ state
     def init_params(self, example_batch: dict) -> None:
+        rep = replicated_sharding(self.mesh)
+        if jax.process_count() > 1:
+            # multi-host: flax init + optax init run EAGERLY, which cannot
+            # execute on arrays sharded over non-addressable devices — trace
+            # them host-locally (only shapes matter; the same seed gives
+            # identical params on every host), then device_put the replicated
+            # global trees
+            local = {
+                k: jnp.asarray(np.asarray(example_batch[k]))
+                for k in ("HR", "LR", "months")
+            }
+            params = jax.tree.map(np.asarray, self.model.init(self.base_key, local))
+            opt_state = jax.tree.map(np.asarray, self.tx.init(params))
+            self.params = jax.device_put(params, rep)
+            self.opt_state = jax.device_put(opt_state, rep)
+            if self.ema_decay is not None:
+                self.ema_params = jax.device_put(params, rep)  # independent copy
+            return
         batch = self._device_batch(example_batch)
         params = self.model.init(self.base_key, batch)
-        rep = replicated_sharding(self.mesh)
         self.params = jax.device_put(params, rep)
         self.opt_state = jax.device_put(self.tx.init(self.params), rep)
         if self.ema_decay is not None:
@@ -179,11 +204,18 @@ class DiffusionTrainer:
 
     def _device_batch(self, batch: dict) -> dict:
         sh = batch_sharding(self.mesh)
+        multihost = jax.process_count() > 1
 
         def put(v):
             # prefetched batches are already sharded — skip the re-put
             if isinstance(v, jax.Array) and v.sharding == sh:
                 return v
+            if multihost:
+                # each host contributes its own disjoint stride of the index
+                # (DataHandler process_index/process_count, cli.py): the
+                # host-LOCAL rows compose the global batch, global size =
+                # local * process_count
+                return jax.make_array_from_process_local_data(sh, np.asarray(v))
             return jax.device_put(jnp.asarray(v), sh)
 
         return {k: put(batch[k]) for k in ("HR", "LR", "months")}
@@ -234,6 +266,9 @@ def run_training(
     val_freq = int(tcfg.get("val_freq", 10000))
     full_val_freq = int(tcfg.get("full_val_freq", val_freq))
     save_freq = int(tcfg.get("save_checkpoint_freq", 10000))
+    # ema_scheduler.use_for_val: validate with the EMA weights (beyond
+    # reference — it parses ema_scheduler but never uses it, README.md:130)
+    ema_val = bool((tcfg.get("ema_scheduler") or {}).get("use_for_val", False))
 
     # one-shot profiler capture: trace steps [profile_start, profile_start+profile_steps)
     profile_dir = tcfg.get("profile_trace_dir")
@@ -290,6 +325,7 @@ def run_training(
                     logging.getLogger("val"),  # metrics -> val.log (train.py:132-198)
                     wandb_logger,
                     max_batches=None if full else 1, visualize_fn=visualize_fn,
+                    use_ema=ema_val,
                 )
 
             if trainer.step % save_freq == 0:
@@ -323,10 +359,24 @@ def run_validation(
         if max_batches is not None and i >= max_batches:
             break
         sr = trainer.sample_batch(batch, use_ema=use_ema)
+        if jax.process_count() > 1:
+            # every host samples its own stride of the val set; gather the
+            # global result so metrics cover the full batch on each host
+            from jax.experimental import multihost_utils
+
+            sr = multihost_utils.process_allgather(sr, tiled=True)
+            batch = {
+                "HR": multihost_utils.process_allgather(
+                    jnp.asarray(batch["HR"]), tiled=True),
+                "LR": multihost_utils.process_allgather(
+                    jnp.asarray(batch["LR"]), tiled=True),
+                "months": multihost_utils.process_allgather(
+                    jnp.asarray(batch["months"]), tiled=True),
+            }
         images = {
             "SR": np.asarray(sr),
-            "HR": batch["HR"],
-            "LR": batch["LR"],
+            "HR": np.asarray(batch["HR"]),
+            "LR": np.asarray(batch["LR"]),
             "INF": np.asarray(bicubic_up4(jnp.asarray(batch["LR"]))),
         }
         inv = data_handler.inverse_transform(images, batch["months"])

@@ -107,6 +107,25 @@ class TestEMA:
         for a, b in zip(init, _leaves(t.ema_params)):
             np.testing.assert_array_equal(a, b)
 
+    def test_sample_batch_uses_ema_params(self):
+        """use_ema=True must sample with the EMA tree, not the raw params
+        (VERDICT r2 weak #5: EMA evaluation surface)."""
+        t = _trainer(ema=1.0)  # decay 1 => EMA frozen at init
+        t.init_params(_batch(0))
+        for i in range(2):
+            t.train_on_batch(_batch(i))
+
+        # reference trainer frozen at the same init, never trained
+        t0 = _trainer()
+        t0.init_params(_batch(0))
+        t0.step = t.step  # sample keys derive from step — align them
+
+        got_ema = np.asarray(t.sample_batch(_batch(5), use_ema=True))
+        want = np.asarray(t0.sample_batch(_batch(5)))
+        got_raw = np.asarray(t.sample_batch(_batch(5)))
+        np.testing.assert_allclose(got_ema, want, rtol=1e-5, atol=1e-6)
+        assert not np.allclose(got_ema, got_raw)
+
     def test_ema_start_delays_updates(self):
         t = _trainer(ema=0.0)
         t.ema_start = 3
@@ -139,6 +158,77 @@ class TestSPMD:
         sr = t.sample_batch(_batch(1))
         assert sr.shape == (B, H, W, 1)
         assert bool(jnp.all(jnp.isfinite(sr)))
+
+
+class TestSPMDFlash:
+    """Pallas flash kernels under a multi-device mesh (VERDICT r2 #1).
+
+    The flash fwd/bwd kernels are wrapped in jax.shard_map over the mesh
+    'data' axis (models/blocks._flash_route) so a sharded program keeps the
+    measured single-chip kernel wins instead of silently falling back to
+    the chunked XLA path. SREWD_FLASH_INTERPRET=1 routes the kernels in
+    Pallas interpret mode so the plumbing runs on the 8 virtual CPU devices.
+    """
+
+    def _routed(self):
+        from srewd_tpu.models import blocks
+
+        return blocks.flash_route_count
+
+    def test_8dev_flash_train_matches_chunked(self, monkeypatch):
+        # chunked-XLA reference trainer (flash off) — trace FIRST, since the
+        # env knobs are read at trace time and jit caches per-trainer
+        monkeypatch.setenv("SREWD_FLASH_TRAIN", "0")
+        tb = _trainer(n_devices=8)
+        tb.init_params(_batch(0))
+        losses_ref = [tb.train_on_batch(_batch(i)) for i in range(3)]
+
+        monkeypatch.setenv("SREWD_FLASH_TRAIN", "1")
+        monkeypatch.setenv("SREWD_FLASH_INTERPRET", "1")
+        before = self._routed()
+        ta = _trainer(n_devices=8)
+        ta.init_params(_batch(0))
+        losses = [ta.train_on_batch(_batch(i)) for i in range(3)]
+        assert self._routed() > before, "flash kernel did not route"
+
+        np.testing.assert_allclose(losses, losses_ref, rtol=2e-4)
+        for a, b in zip(_leaves(ta.params), _leaves(tb.params)):
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+    def test_8dev_flash_sampling_parity(self, monkeypatch):
+        monkeypatch.setenv("SREWD_FLASH_TRAIN", "0")
+        monkeypatch.delenv("SREWD_FLASH_INTERPRET", raising=False)
+        tb = _trainer(n_devices=8)
+        tb.init_params(_batch(0))
+        want = np.asarray(tb.sample_batch(_batch(1)))
+
+        monkeypatch.setenv("SREWD_FLASH_INTERPRET", "1")
+        before = self._routed()
+        ta = _trainer(n_devices=8)
+        ta.init_params(_batch(0))
+        got = np.asarray(ta.sample_batch(_batch(1)))
+        assert self._routed() > before, "flash kernel did not route"
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_flash_skips_indivisible_batch(self, monkeypatch):
+        """Batch not divisible by the data axis -> silent chunked fallback."""
+        import math
+
+        from srewd_tpu.models import blocks
+        from srewd_tpu.parallel.mesh import make_mesh
+
+        monkeypatch.setenv("SREWD_FLASH_INTERPRET", "1")
+        rng = np.random.default_rng(3)
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((6, 64, 8)), jnp.float32)
+            for _ in range(3)
+        )
+        mesh = make_mesh(8)
+        before = blocks.flash_route_count
+        with blocks.spmd_mesh(mesh), blocks.inference_attention():
+            out = blocks._chunked_attention(q, k, v, 1.0 / math.sqrt(8))
+        assert blocks.flash_route_count == before  # 6 % 8 != 0
+        assert np.all(np.isfinite(np.asarray(out)))
 
 
 class TestFinetuneNorm:
