@@ -43,6 +43,10 @@ def main():
                              "(probabilistic downscaling); outputs the "
                              "ensemble mean, plus per-hour std maps in bulk "
                              "mode")
+    parser.add_argument("--use-ema", action="store_true",
+                        help="sample with the EMA weights from the checkpoint "
+                             "(requires train.ema_scheduler.enabled at train "
+                             "time)")
     parser.add_argument("-i", "--image_types", nargs="*", default=None)
     parser.add_argument("-cm", "--cmap", type=str, default="heat_vibrant")
     parser.add_argument("-o", "--output", type=str, default="samples_out")
@@ -115,11 +119,17 @@ def main():
 
     batch = dh.get_data_by_date(args.date) if args.date else next(iter(dh.val_batches()))
     trainer = build_trainer(opt, batch)
+    if args.use_ema and trainer.ema_params is None:
+        logger.warning(
+            "--use-ema requested but the checkpoint carries no EMA state "
+            "(train with train.ema_scheduler.enabled); sampling with the "
+            "raw weights instead"
+        )
 
     logger.info("Sampling.")
     if args.ensemble > 1:
         members = np.stack([
-            np.asarray(trainer.sample_batch(batch, fold=e + 1))
+            np.asarray(trainer.sample_batch(batch, fold=e + 1, use_ema=args.use_ema))
             for e in range(args.ensemble)
         ])
         sr = members.mean(axis=0)
@@ -127,7 +137,7 @@ def main():
                     f"mean member spread {members.std(axis=0).mean():.4f} "
                     "(normalized units)")
     else:
-        sr = trainer.sample_batch(batch)
+        sr = trainer.sample_batch(batch, use_ema=args.use_ema)
     images = {
         "SR": np.asarray(sr),
         "HR": batch["HR"],
@@ -174,6 +184,10 @@ def _bulk_sample(args, opt, dh, logger):
                         np.concatenate([ts_all, np.repeat(ts_all[-1:],
                                                           bs - len(ts_all))]))
     trainer = build_trainer(opt, first)
+    use_ema = bool(getattr(args, "use_ema", False))
+    if use_ema and trainer.ema_params is None:
+        logger.warning("--use-ema requested but no EMA state in checkpoint; "
+                       "using raw weights")
 
     n_ens = max(1, int(args.ensemble))
     sr_dir = os.path.join(args.output, "sr")
@@ -199,7 +213,8 @@ def _bulk_sample(args, opt, dh, logger):
         # every draw must get its own noise realization (the train step
         # counter is fixed here)
         members = np.stack([
-            np.asarray(trainer.sample_batch(batch, fold=(lo + 1) * n_ens + e))
+            np.asarray(trainer.sample_batch(batch, fold=(lo + 1) * n_ens + e,
+                                            use_ema=use_ema))
             for e in range(n_ens)
         ])  # [E, B, H, W, C]
         inv_m = np.stack([

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Per-arch sampling bench sweep -> one JSON artifact (VERDICT r2 #6).
+
+Loops bench.py over all five architectures (1000-step DDPM) plus one sr3
+DDIM-50 run, each in a FRESH subprocess (isolated jit caches, and one
+arch's transient remote-TPU fault cannot poison the rest), and writes the
+collected JSON lines as an array to BENCH_ARCHS.json (override with
+BENCH_ALL_OUT). The driver-facing bench.py contract (one JSON line) is
+unchanged; this records the per-arch numbers that previously lived only in
+docs (DESIGN.md §4).
+
+Knobs pass through: BENCH_BATCH / BENCH_T / BENCH_DTYPE / BENCH_REPEATS.
+~12 min cold per arch on the shared v5e chip; run with a generous timeout.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNS = [
+    {"BENCH_ARCH": a} for a in ("sr3", "resdiff", "phydiff", "srdiff", "physrdiff")
+] + [{"BENCH_ARCH": "sr3", "BENCH_SAMPLER": "ddim", "BENCH_DDIM_STEPS": "50"}]
+
+
+def main():
+    results = []
+    for cfg in RUNS:
+        env = dict(os.environ, **cfg)
+        tag = cfg.get("BENCH_ARCH", "sr3") + (
+            "-ddim" + cfg.get("BENCH_DDIM_STEPS", "")
+            if cfg.get("BENCH_SAMPLER") == "ddim" else ""
+        )
+        print(f"[bench_all] {tag} ...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env, capture_output=True, text=True, timeout=3600, cwd=REPO,
+            )
+        except subprocess.TimeoutExpired:
+            results.append({"run": tag, "error": "timeout"})
+            continue
+        entry = {"run": tag, "wall_sec": round(time.perf_counter() - t0, 1)}
+        if r.returncode != 0:
+            entry["error"] = (r.stderr or r.stdout)[-500:]
+        else:
+            for line in reversed(r.stdout.strip().splitlines()):
+                try:
+                    entry.update(json.loads(line))
+                    break
+                except json.JSONDecodeError:
+                    continue
+        results.append(entry)
+        print(f"[bench_all] {tag}: {json.dumps(entry)}", file=sys.stderr, flush=True)
+
+    out_path = os.environ.get("BENCH_ALL_OUT", os.path.join(REPO, "BENCH_ARCHS.json"))
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+    return 0 if all("error" not in e for e in results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

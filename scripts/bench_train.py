@@ -154,6 +154,10 @@ def main():
         peak = 197e12 if DTYPE == "bf16" else 197e12 / 2
         out["model_tflops_per_sec"] = round(step_flops / dt / 1e12, 2)
         out["mfu"] = round(step_flops / dt / peak, 4)
+        # the FLOP numerator is XLA cost analysis of a CPU-platform lowering;
+        # the timed TPU step may route CA through Pallas kernels (different
+        # program), so for CA-bearing archs MFU is an approximation
+        out["flops_source"] = "xla_cost_analysis_cpu_lowering"
     print(json.dumps(out))
 
 

@@ -63,6 +63,7 @@ def main():
         convert_diffusion_checkpoint,
         convert_rrdb_state,
         convert_simple_cnn_state,
+        drop_unused_cross_attention,
         merge_with_init,
     )
 
@@ -89,6 +90,14 @@ def main():
 
     arch = opt["model"]["architecture"]
     converted = convert_diffusion_checkpoint(sd, arch)
+    if "unet" in converted:
+        # the reference registers J=4 hf_ca_list modules but uses only
+        # len(channel_multiplier)-1; drop converted-but-unused CA weights
+        mults = opt["model"].get("unet", {}).get("channel_multiplier",
+                                                 (1, 2, 4, 8, 8))
+        converted["unet"] = drop_unused_cross_attention(
+            converted["unet"], len(mults) - 1
+        )
 
     # fresh trainer at the config's shapes (no resume during conversion)
     opt["path"]["resume_state"] = None

@@ -142,7 +142,8 @@ def ddim_sample_chain(
     steps: int = 50,
     eta: float = 0.0,
     clip_denoised: bool = True,
-) -> jnp.ndarray:
+    keep_every: Optional[int] = None,
+) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
     """DDIM sampling (Song et al., arXiv:2010.02502) over a timestep subset.
 
     Beyond-reference fast sampler: the reference only trades quality for
@@ -152,6 +153,11 @@ def ddim_sample_chain(
     sample_chain, so per-step cost is identical — throughput scales as
     T/steps. The denoiser sees the same continuous noise level
     sqrt(alpha_cumprod[t]) it was trained with.
+
+    keep_every: as in sample_chain (reference `continous=True`,
+    sr3_diffusion.py:59-83) — additionally return every keep_every-th
+    intermediate image as [S // keep_every, *shape], where S is the number
+    of DDIM steps actually walked.
     """
     import numpy as np
 
@@ -191,5 +197,24 @@ def ddim_sample_chain(
 
     idx = jnp.arange(len(taus) - 1, -1, -1)
     xs = (idx, a_t[idx], a_prev[idx], lvl_t[idx])
-    img, _ = jax.lax.scan(step, img, xs)
-    return img
+
+    if keep_every is None:
+        img, _ = jax.lax.scan(step, img, xs)
+        return img
+
+    # segmented scan mirroring sample_chain: frames collected per segment,
+    # at most keep_every-1 trailing steps unrolled
+    k = int(keep_every)
+    s_total = len(taus)
+    n_seg = s_total // k
+    main = tuple(x[: n_seg * k].reshape(n_seg, k, *x.shape[1:]) for x in xs)
+    tail = tuple(x[n_seg * k :] for x in xs)
+
+    def segment(carry, seg_xs):
+        out, _ = jax.lax.scan(step, carry, seg_xs)
+        return out, out
+
+    img, frames = jax.lax.scan(segment, img, main)
+    for j in range(s_total - n_seg * k):
+        img, _ = step(img, tuple(x[j] for x in tail))
+    return img, frames

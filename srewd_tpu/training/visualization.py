@@ -370,8 +370,13 @@ class ImageContainer:
             for idx in range(min(self.n_images, self.visuals[key].shape[0])):
                 fig, ax = self._subplot(1)
                 ax0 = np.ravel([ax])[0]
-                im = self._draw(ax0, self.visuals[key][idx, :, :, 0], key, cmap,
-                                vrange=vrange, cmap=use_cmap if cmap is None else None)
+                # the caller cmap applies only to the main fields — DELTA/AE
+                # keys ALWAYS use the fixed custom/custom_ae maps (reference
+                # visualization.py:136-165 applies cmap_list to HR/SR/LR/
+                # INTERPOLATED only)
+                im = self._draw(ax0, self.visuals[key][idx, :, :, 0], key,
+                                None if use_cmap is not None else cmap,
+                                vrange=vrange, cmap=use_cmap)
                 fig.colorbar(im, ax=ax0, fraction=0.025)
                 out = f"{path_prefix}_{name}_{idx}.png"
                 fig.savefig(out, dpi=110, bbox_inches="tight")

@@ -165,6 +165,22 @@ def convert_unet_state(state_dict, variant: str = "sr3") -> dict:
     return tree
 
 
+def drop_unused_cross_attention(unet_tree: dict, n_boundaries: int) -> dict:
+    """Drop converted CrossAttention_{i} entries the model does not define.
+
+    The reference registers J=4 hf_ca_list modules unconditionally
+    (resdiff/unet.py:72-76) but forward only uses len(channel_mults)-1 of
+    them; checkpoints of configs with fewer than 5 mults carry trained-but-
+    never-used CA weights that merge_with_init would (correctly) reject as
+    'converted params not in model'.
+    """
+    return {
+        k: v
+        for k, v in unet_tree.items()
+        if not (k.startswith("CrossAttention_") and int(k.split("_")[-1]) >= n_boundaries)
+    }
+
+
 def merge_with_init(converted: dict, init_params: dict) -> dict:
     """Fill converted-tree gaps (e.g. physrdiff's missing spliter) from an
     init tree; errors on leaves present in converted but absent in init."""

@@ -212,6 +212,79 @@ class TestDDIM:
         b = ddim_sample_chain(sched, mock, (1, 4, 8, 1), jax.random.key(5), steps=7)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_keep_every_matches_plain_ddim(self):
+        """Segmented frame collection must not change the DDIM step sequence
+        (reference continous=True x the repo's DDIM extension)."""
+        import jax
+
+        from srewd_tpu.diffusion.gaussian import ddim_sample_chain
+        from srewd_tpu.diffusion.schedule import Schedule
+
+        sched = Schedule.create("linear", n_timestep=40)
+
+        def mock(x, lvl):
+            return 0.1 * x + 0.05 * lvl.reshape(-1, 1, 1, 1)
+
+        key = jax.random.key(2)
+        plain = ddim_sample_chain(sched, mock, (2, 8, 16, 1), key, steps=10)
+        final, frames = ddim_sample_chain(
+            sched, mock, (2, 8, 16, 1), key, steps=10, keep_every=3
+        )
+        assert frames.shape == (3, 2, 8, 16, 1)  # 10 // 3 segments
+        np.testing.assert_allclose(np.asarray(final), np.asarray(plain), atol=1e-6)
+
+    def test_keep_every_oracle_frames_converge(self):
+        """With the oracle denoiser, frames approach x0 and the last frame
+        equals the final image when keep_every divides the step count."""
+        import jax
+
+        from srewd_tpu.diffusion.gaussian import ddim_sample_chain
+        from srewd_tpu.diffusion.schedule import Schedule
+
+        sched = Schedule.create("linear", n_timestep=100,
+                                linear_start=1e-4, linear_end=2e-2)
+        rng = np.random.default_rng(4)
+        x0 = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 8, 16, 1)), jnp.float32)
+        final, frames = ddim_sample_chain(
+            sched, self._perfect_denoiser(x0), x0.shape,
+            jax.random.key(1), steps=8, eta=0.0, keep_every=2,
+        )
+        assert frames.shape == (4, 2, 8, 16, 1)
+        np.testing.assert_allclose(np.asarray(frames[-1]), np.asarray(final),
+                                   atol=1e-6)
+        errs = [float(jnp.abs(f - x0).mean()) for f in frames]
+        assert errs[-1] < errs[0]  # frames converge toward x0
+
+    def test_model_api_ddim_frames(self):
+        """generate_sr(sampler='ddim', keep_every=K) returns (img, frames)
+        with residual addback applied to the frames too."""
+        import jax
+
+        from srewd_tpu.diffusion.schedule import Schedule
+        from srewd_tpu.models.factory import DiffusionModel
+        from srewd_tpu.models.unet import WeatherUNet
+        from srewd_tpu.ops.resize import bicubic_up4
+
+        unet = WeatherUNet(variant="sr3", out_channel=1, inner_channel=8,
+                           norm_groups=4, channel_mults=(1, 2), attn_res=(8,),
+                           res_blocks=1, image_height=16, image_width=32,
+                           image_channels=1)
+        m = DiffusionModel(arch="sr3", unet=unet)
+        sched = Schedule.create("linear", n_timestep=50)
+        rng = np.random.default_rng(7)
+        batch = {
+            "HR": jnp.asarray(rng.standard_normal((2, 16, 32, 1)), jnp.float32),
+            "LR": jnp.asarray(rng.standard_normal((2, 4, 8, 1)), jnp.float32),
+        }
+        batch["SR"] = bicubic_up4(batch["LR"])
+        p = m.init(jax.random.key(0), batch)
+        img, frames = m.generate_sr(p, batch, jax.random.key(2), sched,
+                                    sampler="ddim", ddim_steps=10, keep_every=5)
+        assert img.shape == batch["HR"].shape
+        assert frames.shape == (2, 2, 16, 32, 1)
+        np.testing.assert_allclose(np.asarray(frames[-1]), np.asarray(img),
+                                   atol=1e-6)
+
     def test_model_api_and_throughput_ratio(self):
         import jax
 

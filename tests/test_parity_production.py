@@ -8,12 +8,16 @@ res_blocks=2 (configs/experiment_configs/*, reference
 configs/experiment_configs/phydiff/resdiff+physics_train_example.json:41-48).
 
 This file runs ONE full-size forward (batch 1, f32) through the reference
-torch UNet and WeatherUNet with converted weights for the two headline
-architectures: sr3 (the benchmark trunk) and phydiff (the thesis
-architecture, with FD stencils + 4 HF-guided CA boundaries, the largest at
-64x128 = 8192 tokens). A T-step chain at this size is minutes of torch-CPU
-time, so the chain-accumulation gate stays at toy size; forward error here
-bounds the per-step divergence that the chain test integrates.
+torch UNet and WeatherUNet with converted weights for ALL FIVE
+architectures: sr3 (the benchmark trunk), phydiff (the thesis architecture,
+with FD stencils + 4 HF-guided CA boundaries, the largest at 64x128 = 8192
+tokens), resdiff (FD_Info_Spliter FFT maps are resolution-dependent,
+fd_info_spliter.py:49-117), srdiff (ConvTranspose cond_proj padding +
+the real 17-block RRDB encoder feature pathway, srdiff/unet.py:40-45,
+112-128), and physrdiff (the repaired evident-intent forward). A T-step
+chain at this size is minutes of torch-CPU time, so the chain-accumulation
+gate stays at toy size; forward error here bounds the per-step divergence
+that the chain test integrates.
 """
 
 import sys
@@ -37,11 +41,19 @@ except Exception:  # pragma: no cover
     pytest.skip("reference repo not importable", allow_module_level=True)
 
 from models.diffusion_models.phydiff.unet import UNet as PhydiffTorchUNet  # noqa: E402
+from models.diffusion_models.physrdiff.unet import UNet as PhysrdiffTorchUNet  # noqa: E402
+from models.diffusion_models.resdiff.fd_info_spliter import FD_Info_Spliter  # noqa: E402
+from models.diffusion_models.resdiff.unet import UNet as ResdiffTorchUNet  # noqa: E402
+from models.diffusion_models.srdiff.unet import UNet as SrdiffTorchUNet  # noqa: E402
+from models.rrdb_encoder.RRDBNet import RRDBNet as TorchRRDBNet  # noqa: E402
 
+from srewd_tpu.models.rrdb import RRDBNet  # noqa: E402
 from srewd_tpu.models.unet import WeatherUNet  # noqa: E402
 from srewd_tpu.utils.torch_convert import (  # noqa: E402
+    convert_rrdb_state,
     convert_sr3_unet_state,
     convert_unet_state,
+    merge_with_init,
 )
 
 H, W = 128, 256
@@ -93,6 +105,162 @@ class TestSr3Production:
         # BASELINE.md accuracy gate (<=1e-3 rel RMSE) at the real size
         assert rel_rmse < 1e-3, f"sr3 production rel RMSE {rel_rmse}"
         assert rel_max < 1e-3, f"sr3 production rel max err {rel_max}"
+
+
+class TestResdiffProduction:
+    """resdiff at full size: the FD_Info_Spliter's FFT high/low-pass maps and
+    SE gates are resolution-dependent (fd_info_spliter.py:49-117) — toy-size
+    parity does not bound them. B=1, C=1: the reference FFTs over ALL dims
+    including batch (fd_info_spliter.py:63); our spatial-only transform
+    coincides exactly there (documented deviation)."""
+
+    def test_forward_parity_full_size(self):
+        torch.manual_seed(9)
+        with cuda_to_cpu():
+            tnet = ResdiffTorchUNet(
+                in_channel=5, out_channel=1, inner_channel=INNER, norm_groups=32,
+                channel_mults=MULTS, attn_res=ATTN, res_blocks=2, dropout=0,
+                image_height=H, image_width=W, image_channels=1,
+            )
+        tnet.eval()
+        # all 4 registered CA blocks are used at 5 levels (4 boundaries)
+        params = jax.tree.map(
+            jnp.asarray, convert_unet_state(tnet.state_dict(), "resdiff")
+        )
+        jnet = WeatherUNet(
+            variant="resdiff", in_channel=2, out_channel=1, inner_channel=INNER,
+            norm_groups=32, channel_mults=MULTS, attn_res=ATTN, res_blocks=2,
+            dropout=0.0, image_height=H, image_width=W, image_channels=1,
+        )
+        rng = np.random.default_rng(90)
+        x = rng.standard_normal((1, 2, H, W)).astype(np.float32)
+        lvl = np.asarray([0.52], np.float32)
+        with torch.no_grad(), cuda_to_cpu():
+            theirs = tnet(torch.from_numpy(x), torch.from_numpy(lvl).reshape(1, 1)).numpy()
+        ours = jnet.apply({"params": params}, jnp.asarray(nhwc(x)), jnp.asarray(lvl),
+                          train=False)
+        rel_max, rel_rmse = _rel_errs(theirs, ours)
+        assert rel_rmse < 1e-3, f"resdiff production rel RMSE {rel_rmse}"
+        assert rel_max < 1e-3, f"resdiff production rel max err {rel_max}"
+
+
+def _production_rrdb_pair():
+    """Reference 17-block/64-feat RRDB encoder (srdiff_diffusion.py:60-69)
+    with converted weights, at the production LR size 32x64."""
+    torch.manual_seed(10)
+    tenc = TorchRRDBNet(1, 1, 64, 17, 32)
+    tenc.eval()
+    jenc = RRDBNet(in_nc=1, out_nc=1, nf=64, nb=17, gc=32)
+    enc_params = jax.tree.map(jnp.asarray, convert_rrdb_state(tenc.state_dict()))
+    return tenc, jenc, enc_params
+
+
+def _feats_through_both(tenc, jenc, enc_params, lr):
+    """(torch feature list, our concatenated [2::3] tap map) + parity check."""
+    with torch.no_grad():
+        _, t_feats = tenc(torch.from_numpy(lr), get_fea=True)
+    _, j_feats = jenc.apply({"params": enc_params}, jnp.asarray(nhwc(lr)),
+                            get_fea=True)
+    assert len(t_feats) == len(j_feats) == 18  # nb + conv taps
+    for tf, jf in zip(t_feats, j_feats):
+        np.testing.assert_allclose(nchw(jf), tf.numpy(), atol=5e-4)
+    feats_j = jnp.concatenate([j_feats[i] for i in range(2, 18, 3)], axis=-1)
+    return t_feats, feats_j
+
+
+class TestSrdiffProduction:
+    """srdiff at full size: the ConvTranspose2d cond_proj (4x up, padding=2,
+    srdiff/unet.py:40-45) and the [2::3] RRDB feature taps (:112-128) are
+    exercised with the REAL production encoder (17 blocks, 64 feats), not
+    random feature maps — covering the encoder + injection pathway at the
+    resolution the transpose-conv padding actually depends on."""
+
+    def test_forward_parity_full_size_with_real_encoder(self):
+        tenc, jenc, enc_params = _production_rrdb_pair()
+        torch.manual_seed(11)
+        tnet = SrdiffTorchUNet(
+            in_channel=1, out_channel=1, inner_channel=INNER, norm_groups=32,
+            channel_mults=MULTS, attn_res=ATTN, res_blocks=2, dropout=0,
+            image_height=H, image_width=W, image_channels=1,
+        )
+        tnet.eval()
+        params = jax.tree.map(jnp.asarray, convert_unet_state(tnet.state_dict(), "srdiff"))
+        jnet = WeatherUNet(
+            variant="srdiff", in_channel=1, out_channel=1, inner_channel=INNER,
+            norm_groups=32, channel_mults=MULTS, attn_res=ATTN, res_blocks=2,
+            dropout=0.0, image_height=H, image_width=W, image_channels=1,
+        )
+        rng = np.random.default_rng(110)
+        lr = rng.uniform(-1, 1, (1, 1, H // 4, W // 4)).astype(np.float32)
+        t_feats, feats_j = _feats_through_both(tenc, jenc, enc_params, lr)
+
+        x = rng.standard_normal((1, 1, H, W)).astype(np.float32)
+        lvl = np.asarray([0.47], np.float32)
+        with torch.no_grad():
+            theirs = tnet((t_feats, torch.from_numpy(x)),
+                          torch.from_numpy(lvl).reshape(1, 1)).numpy()
+        ours = jnet.apply({"params": params}, jnp.asarray(nhwc(x)), jnp.asarray(lvl),
+                          rrdb_feats=feats_j, train=False)
+        rel_max, rel_rmse = _rel_errs(theirs, ours)
+        assert rel_rmse < 1e-3, f"srdiff production rel RMSE {rel_rmse}"
+        assert rel_max < 1e-3, f"srdiff production rel max err {rel_max}"
+
+
+class TestPhysrdiffProduction:
+    """physrdiff at full size (repaired evident-intent forward — the
+    reference's own forward is unrunnable, physrdiff/unet.py:150), with the
+    real production RRDB encoder feeding cond_proj."""
+
+    def test_forward_parity_full_size_with_real_encoder(self):
+        from test_parity_archs import _patched_physrdiff_forward
+
+        tenc, jenc, enc_params = _production_rrdb_pair()
+        torch.manual_seed(12)
+        with cuda_to_cpu():  # ctor creates FD kernels with device='cuda'
+            tnet = PhysrdiffTorchUNet(
+                in_channel=5, out_channel=1, inner_channel=INNER, norm_groups=32,
+                channel_mults=MULTS, attn_res=ATTN, res_blocks=2, dropout=0,
+                image_height=H, image_width=W, image_channels=1,
+            )
+            tnet.fd_spliter = FD_Info_Spliter(
+                dim=INNER, in_channels=1, out_channels=1,
+                image_height=H, image_width=W,
+            )
+        tnet.eval()
+        converted = convert_unet_state(tnet.state_dict(), "physrdiff")
+        jnet = WeatherUNet(
+            variant="physrdiff", in_channel=2, out_channel=1, inner_channel=INNER,
+            norm_groups=32, channel_mults=MULTS, attn_res=ATTN, res_blocks=2,
+            dropout=0.0, image_height=H, image_width=W, image_channels=1,
+        )
+        rng = np.random.default_rng(120)
+        lr = rng.uniform(-1, 1, (1, 1, H // 4, W // 4)).astype(np.float32)
+        t_feats, feats_j = _feats_through_both(tenc, jenc, enc_params, lr)
+
+        init_tree = jnet.init(
+            jax.random.key(0), jnp.zeros((1, H, W, 2)), jnp.ones((1,)),
+            rrdb_feats=jnp.zeros_like(feats_j),
+        )["params"]
+        params = jax.tree.map(
+            jnp.asarray, merge_with_init(converted, init_tree)
+        )
+
+        interp = rng.standard_normal((1, 1, H, W)).astype(np.float32)
+        x = rng.standard_normal((1, 1, H, W)).astype(np.float32)
+        lvl = np.asarray([0.39], np.float32)
+        with torch.no_grad(), cuda_to_cpu():
+            theirs = _patched_physrdiff_forward(
+                tnet, (torch.from_numpy(interp), t_feats, torch.from_numpy(x)),
+                torch.from_numpy(lvl).reshape(1, 1),
+            ).numpy()
+        ours = jnet.apply(
+            {"params": params},
+            jnp.concatenate([jnp.asarray(nhwc(interp)), jnp.asarray(nhwc(x))], axis=-1),
+            jnp.asarray(lvl), rrdb_feats=feats_j, train=False,
+        )
+        rel_max, rel_rmse = _rel_errs(theirs, ours)
+        assert rel_rmse < 1e-3, f"physrdiff production rel RMSE {rel_rmse}"
+        assert rel_max < 1e-3, f"physrdiff production rel max err {rel_max}"
 
 
 class TestPhydiffProduction:

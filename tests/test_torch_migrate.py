@@ -123,6 +123,26 @@ class TestDiffusionCheckpointSplit:
         with pytest.raises(ValueError, match="unrecognized"):
             convert_diffusion_checkpoint(sd, "sr3")
 
+    def test_drop_unused_cross_attention(self):
+        """The reference registers J=4 hf_ca_list modules but uses only
+        len(channel_mults)-1 (resdiff/unet.py:72-76); the converter must drop
+        the unused ones or merge_with_init rejects the tree (ADVICE r2)."""
+        from srewd_tpu.utils.torch_convert import (
+            drop_unused_cross_attention,
+            merge_with_init,
+        )
+
+        leaf = {"kernel": np.zeros((1, 1, 4, 4), np.float32)}
+        tree = {f"CrossAttention_{i}": dict(leaf) for i in range(4)}
+        tree["Conv_0"] = dict(leaf)
+        out = drop_unused_cross_attention(tree, 1)  # 2 mults -> 1 boundary
+        assert set(out) == {"CrossAttention_0", "Conv_0"}
+        # the un-dropped tree reproduces the CLI failure; dropped merges fine
+        init = {"CrossAttention_0": dict(leaf), "Conv_0": dict(leaf)}
+        with pytest.raises(ValueError, match="not in model"):
+            merge_with_init(tree, init)
+        merge_with_init(out, init)
+
 
 class TestMigrationCLI:
     def test_end_to_end(self, tmp_path):

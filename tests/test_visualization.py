@@ -49,6 +49,25 @@ class TestImageContainer:
         assert len(files) == 2
         assert all(os.path.isfile(f) for f in files)
 
+    def test_caller_cmap_never_overrides_derived_maps(self, tmp_path, monkeypatch):
+        """A caller-supplied cmap (sample.py -cm, default heat_vibrant)
+        applies only to the main fields; DELTA/AE renders keep the fixed
+        custom/custom_ae maps (reference visualization.py:136-165)."""
+        c = ImageContainer(_visuals(), n_images=1)
+        drawn = {}
+        orig = ImageContainer._draw
+
+        def spy(self, ax, field, key, cmap_name=None, vrange=None, cmap=None):
+            drawn[key] = cmap if cmap is not None else self._cmap_for(key, cmap_name)
+            return orig(self, ax, field, key, cmap_name, vrange, cmap)
+
+        monkeypatch.setattr(ImageContainer, "_draw", spy)
+        c.save_all_images(str(tmp_path / "p"),
+                          image_types=["SR", "DELTA", "AE"], cmap="heat_vibrant")
+        assert drawn["SR"] is CMAPS["heat_vibrant"]
+        assert drawn["RESIDUALS"] is CMAPS["abs_color"]
+        assert drawn["ABS_RESIDUALS"] is CMAPS["ae_color"]
+
     def test_wandb_plot_figure(self):
         fig = ImageContainer(_visuals()).make_wandb_plot()
         assert len(fig.axes) >= 3  # IT/SR/HR panels (+colorbars)
