@@ -71,7 +71,11 @@ def main():
                   "full_val_freq": 24, "save_checkpoint_freq": 24,
                   "print_freq": 8, "val_vis_freq": 1,
                   "optimizer": {"type": "adam", "lr": 0.001},
-                  "ema_scheduler": {"enabled": False}},
+                  # EMA on: the checkpoint carries ema_params, validation
+                  # uses them (use_for_val), and the --use-ema sample below
+                  # exercises the full EMA surface
+                  "ema_scheduler": {"enabled": True, "ema_decay": 0.99,
+                                    "step_start_ema": 0, "use_for_val": True}},
         "wandb": {"project": None, "entity": None},
     }
     cfg_path = work / "e2e.json"
@@ -94,6 +98,12 @@ def main():
          "-d", "2017-01-05-00", "-o", str(out_dir), "--platform", "cpu"], env=env)
     pngs = list(out_dir.rglob("*.png"))
     assert pngs, f"sample.py produced no images under {out_dir}"
+
+    # --- EMA-weighted sampling through the CLI flag ---
+    run([sys.executable, "sample.py", "-c", str(cfg_path), "-m", str(ckpts[-1]),
+         "-d", "2017-01-05-00", "-o", str(work / "samples_ema"),
+         "--use-ema", "--platform", "cpu"], env=env)
+    assert list((work / "samples_ema").rglob("*.png")), "ema sample produced no images"
 
     # --- DDIM fast sampling through the CLI flag ---
     run([sys.executable, "sample.py", "-c", str(cfg_path), "-m", str(ckpts[-1]),

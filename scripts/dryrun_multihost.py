@@ -165,8 +165,8 @@ def coordinator_main(out_path: str | None = None):
     ]
     single = subprocess.run([sys.executable, me, "single"],
                             capture_output=True, text=True, env=env,
-                            cwd=REPO, timeout=900)
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+                            cwd=REPO, timeout=2400)
+    outs = [p.communicate(timeout=2400)[0] for p in procs]
     for p, o in zip(procs, outs):
         if p.returncode != 0:
             raise SystemExit(f"worker failed (rc={p.returncode}):\n{o[-4000:]}")

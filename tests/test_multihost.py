@@ -26,10 +26,12 @@ class TestMultiHost:
         out = tmp_path / "MULTIHOST.json"
         env = {k: v for k, v in os.environ.items()
                if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        # generous timeout: three concurrent JAX-compiling processes on an
+        # already-loaded CI host can take many minutes (standalone ~4 min)
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts/dryrun_multihost.py"),
              str(out)],
-            capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+            capture_output=True, text=True, timeout=2400, cwd=REPO, env=env,
         )
         assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
         result = json.loads(out.read_text())
