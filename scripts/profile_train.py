@@ -86,20 +86,31 @@ def main():
         return dt
 
     def three_way(name, m, x, fwd_flops, fwd_bytes):
-        """fwd / fwd+dx / fwd+dx+dw timings for a flax module on input x."""
+        """fwd / fwd+dx / fwd+dx+dw timings for a flax module on input x.
+
+        The backward passes differentiate 0.5*sum(f(x)^2) so dout == f(x):
+        with a ones cotangent XLA hoists the (then input-independent) dx out
+        of the timing scan and DCEs the forward entirely — measured as an
+        impossible 1155%-of-peak before this fix.
+        """
         params = m.init(jax.random.key(0), x)
+
+        def loss_x(xx):
+            o = m.apply(params, xx).astype(jnp.float32)
+            return 0.5 * jnp.sum(jnp.square(o))
+
+        def loss_px(pp, xx):
+            o = m.apply(pp, xx).astype(jnp.float32)
+            return 0.5 * jnp.sum(jnp.square(o))
 
         def fwd(y):
             return m.apply(params, y).astype(y.dtype)
 
         def fwd_dx(y):
-            out, vjp = jax.vjp(lambda xx: m.apply(params, xx), y)
-            (dx,) = vjp(jnp.ones_like(out))
-            return dx.astype(y.dtype)
+            return jax.grad(loss_x)(y).astype(y.dtype)
 
         def fwd_dx_dw(y):
-            out, vjp = jax.vjp(lambda pp, xx: m.apply(pp, xx), params, y)
-            dp, dx = vjp(jnp.ones_like(out))
+            dp, dx = jax.grad(loss_px, argnums=(0, 1))(params, y)
             # fold a scalar of dp into the carry so XLA cannot DCE it
             s = sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(dp))
             return (dx + s.astype(dx.dtype) * 0.0).astype(y.dtype)
@@ -158,9 +169,11 @@ def main():
         ca_flops = B * (2 * nn_tok * nn_tok * cc * 2)  # scores + PV only
 
         def ca_train(y, _params=params, _ca=ca, _q=qimg):
-            out, vjp = jax.vjp(lambda xx: _ca.apply(_params, xx, _q), y)
-            (dx,) = vjp(jnp.ones_like(out))
-            return dx.astype(y.dtype)
+            def loss(xx):
+                o = _ca.apply(_params, xx, _q).astype(jnp.float32)
+                return 0.5 * jnp.sum(jnp.square(o))
+
+            return jax.grad(loss)(y).astype(y.dtype)
 
         for flag, label in (("1", "flash"), ("0", "chunked")):
             os.environ["SREWD_FLASH_TRAIN"] = flag
