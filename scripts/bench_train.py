@@ -87,7 +87,8 @@ def flops_main():
     opt_s = jax.eval_shape(trainer.tx.init, params_s)
     lowered = trainer._train_step.lower(
         params_s, opt_s, batch_s["HR"], batch_s["LR"],
-        jax.ShapeDtypeStruct((BATCH,), jnp.int32), key,
+        jax.ShapeDtypeStruct((BATCH,), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.int32),
     )
     print(json.dumps({"flops": lowered.cost_analysis()["flops"]}))
 
@@ -128,9 +129,15 @@ def main():
     trainer.train_on_batch(b)
 
     print("timing...", file=sys.stderr, flush=True)
+    # async-dispatch pipeline: enqueue all steps, then one blocking value
+    # fetch of the LAST loss — the params donation chain means step N's loss
+    # transitively waits on steps 1..N-1, so this times true pipelined
+    # throughput (axon block_until_ready is a no-op; value fetch is the sync)
     t0 = time.perf_counter()
+    last = None
     for _ in range(steps):
-        trainer.train_on_batch(b)  # fetches loss -> blocks
+        last = trainer.train_on_batch_async(b)
+    float(last)
     dt = (time.perf_counter() - t0) / steps
 
     print("cost analysis (CPU subprocess)...", file=sys.stderr, flush=True)

@@ -75,21 +75,31 @@ class DiffusionTrainer:
 
         model, tx, mesh = self.model, self.tx, self.mesh
         sched_t = self.schedule_train
+        base_key = self.base_key
 
         # `with spmd_mesh(mesh)` runs at TRACE time (the Python body of a
         # jitted fn executes once, during tracing) — it tells the attention
         # routing (models/blocks._flash_route) which mesh to shard_map the
         # Pallas flash kernels over when device_count > 1.
+        #
+        # The per-step RNG fold happens INSIDE the step (base_key is a traced
+        # closure constant, `step` a traced int32): host-side
+        # jax.random.fold_in costs a separate dispatch per step (~4 ms over
+        # the axon tunnel) and would serialize the async pipeline.
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, hr, lr, months, key):
+        def train_step(params, opt_state, hr, lr, months, step):
             with spmd_mesh(mesh):
+                key = jax.random.fold_in(base_key, step)
                 batch = {"HR": hr, "LR": lr, "SR": bicubic_up4(lr), "months": months}
                 loss, grads = jax.value_and_grad(model.loss)(params, batch, key, sched_t, True)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return params, opt_state, loss
 
-        @jax.jit
+        # donate the previous EMA tree — the update rewrites every leaf, and
+        # without donation each call allocates a full second copy of the
+        # 92M-param tree
+        @partial(jax.jit, donate_argnums=(0,))
         def ema_step(ema, params, decay):
             return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay), ema, params)
 
@@ -221,16 +231,32 @@ class DiffusionTrainer:
         return {k: put(batch[k]) for k in ("HR", "LR", "months")}
 
     # ------------------------------------------------------------------ steps
-    def train_on_batch(self, batch: dict) -> float:
+    def train_on_batch_async(self, batch: dict) -> jax.Array:
+        """Dispatch one train step; return the loss as a DEVICE scalar without
+        waiting for it.
+
+        Per-step `float(loss)` serializes the pipeline: on the remote (axon)
+        TPU backend the measured sr3 step was 156.7 ms wall against 85 ms of
+        device compute — the remaining ~72 ms was the blocking loss fetch +
+        dispatch that async dispatch overlaps (profile_train / DESIGN.md §7).
+        Callers that log losses should batch-fetch them every print interval
+        (one `np.asarray(jnp.stack(pending))` round trip), as run_training
+        does. The donation chain orders steps: fetching step N's loss implies
+        steps 1..N all executed.
+        """
         b = self._device_batch(batch)
-        key = jax.random.fold_in(self.base_key, self.step)
         self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state, b["HR"], b["LR"], b["months"], key
+            self.params, self.opt_state, b["HR"], b["LR"], b["months"],
+            np.int32(self.step),
         )
         self.step += 1
         if self.ema_decay is not None and self.step >= self.ema_start:
             self.ema_params = self._ema_step(self.ema_params, self.params, self.ema_decay)
-        return float(loss)
+        return loss
+
+    def train_on_batch(self, batch: dict) -> float:
+        """One train step, blocking on (and returning) the loss value."""
+        return float(self.train_on_batch_async(batch))
 
     def sample_batch(self, batch: dict, use_ema: bool = False,
                      fold: int = 0) -> jnp.ndarray:
@@ -281,6 +307,19 @@ def run_training(
     train_metrics = TrainMetrics()
     timer = StepTimer()
     timer.start()
+    # device-side losses pending fetch: steps are dispatched WITHOUT waiting
+    # (train_on_batch_async) so host dispatch pipelines ahead of the TPU;
+    # one stacked fetch per print interval amortizes the round trip that a
+    # per-step float(loss) would pay every step
+    pending: list = []
+
+    def flush_losses() -> None:
+        if not pending:
+            return
+        for v in np.asarray(jnp.stack(pending)):
+            train_metrics.update({"l_pix": float(v)})
+        pending.clear()
+
     while trainer.step < n_iter:
         trainer.epoch += 1
         # assemble + device_put the next batches in a background thread
@@ -295,16 +334,20 @@ def run_training(
                 jax_trace.__enter__()
                 profiling = True
                 profile_end = trainer.step + profile_steps
-            loss = trainer.train_on_batch(batch)
-            timer.tick()  # train_on_batch fetches the loss, so compute is done
+            pending.append(trainer.train_on_batch_async(batch))
+            timer.tick()  # async: times amortized throughput, not one step
             if profiling and trainer.step >= profile_end:
+                # force execution of the traced steps before closing the
+                # capture (axon block_until_ready is a no-op; a value fetch
+                # is the only real sync)
+                flush_losses()
                 jax_trace.__exit__(None, None, None)
                 profiling = False
                 profile_dir = None
                 logger.info(f"Profiler trace written ({profile_steps} steps).")
-            train_metrics.update({"l_pix": loss})
 
             if trainer.step % print_freq == 0:
+                flush_losses()
                 logger.info(
                     f"Epoch: {trainer.epoch:5}  |  Iteration: {trainer.step:8} |"
                     f" {train_metrics.metrics2str()} | {timer.summary_str()}"
@@ -334,6 +377,7 @@ def run_training(
 
             if wandb_logger:
                 wandb_logger.commit(step=trainer.step)
+    flush_losses()  # sync outstanding steps (and count them) before saving
     if profiling:  # n_iter reached inside the capture window
         jax_trace.__exit__(None, None, None)
         logger.info("Profiler trace written (training ended inside window).")
