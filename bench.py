@@ -67,9 +67,10 @@ def main():
     lr = jnp.asarray(rng.standard_normal((batch, 32, 64, 1)), jnp.float32)
     params = jax.device_put(model.init(jax.random.key(0), {"HR": hr, "LR": lr}), dev)
 
-    sampler = os.environ.get("BENCH_SAMPLER", "ddpm")  # ddpm|ddim
+    sampler = os.environ.get("BENCH_SAMPLER", "ddpm")  # ddpm|ddim|dpm
     ddim_steps = int(os.environ.get("BENCH_DDIM_STEPS", "50"))
-    skw = {"sampler": "ddim", "ddim_steps": ddim_steps} if sampler == "ddim" else {}
+    skw = ({"sampler": sampler, "ddim_steps": ddim_steps}
+           if sampler in ("ddim", "dpm") else {})
 
     @jax.jit
     def sample(params, hr, lr, key):
@@ -102,7 +103,8 @@ def main():
         # scale reference to the benched T (per-step cost is constant)
         vs = fields_per_sec / (ref * (1000.0 / n_t))
 
-    tag = f"{ddim_steps}-step DDIM(T={n_t})" if sampler == "ddim" else f"{n_t}-step DDPM"
+    tag = (f"{ddim_steps}-step {sampler.upper()}(T={n_t})"
+           if sampler in ("ddim", "dpm") else f"{n_t}-step DDPM")
     print(json.dumps({
         "metric": f"t2m SR fields/sec/chip ({tag}, 128x256, {arch})",
         "value": round(fields_per_sec, 4),

@@ -51,8 +51,9 @@ def main():
     parser.add_argument("-cm", "--cmap", type=str, default="heat_vibrant")
     parser.add_argument("-o", "--output", type=str, default="samples_out")
     parser.add_argument("--platform", type=str, default=None)
-    parser.add_argument("--sampler", type=str, choices=["ddpm", "ddim"], default=None,
-                        help="override model.diffusion.sampler (ddim = fast)")
+    parser.add_argument("--sampler", type=str, choices=["ddpm", "ddim", "dpm"], default=None,
+                        help="override model.diffusion.sampler (ddim/dpm = fast; "
+                             "dpm = DPM-Solver++(2M), --ddim-steps is its step count)")
     parser.add_argument("--ddim-steps", type=int, default=50)
     parser.add_argument("--ddim-eta", type=float, default=0.0)
     args = parser.parse_args()

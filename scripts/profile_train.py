@@ -257,6 +257,21 @@ def main():
                       "reconstructed_trunk_ms": round(recon * 1e3, 2),
                       "other_ms": round(step_ms - recon * 1e3, 2)}), flush=True)
 
+    # pipelined variant: async dispatch, one tail fetch (the donation chain
+    # orders steps) — the serialized/pipelined delta IS the host overhead
+    pipe = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(10):
+            last = trainer.train_on_batch_async(b)
+        float(last)
+        pipe.append((time.perf_counter() - t0) / 10)
+    pipe_ms = min(pipe) * 1e3
+    print(json.dumps({"pipelined_step_ms": round(pipe_ms, 2),
+                      "host_overhead_ms": round(step_ms - pipe_ms, 2)}),
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -59,7 +59,9 @@ def build_trainer(opt: dict, example_batch: dict, dtype=None) -> DiffusionTraine
     ema_enabled = bool(ema_cfg.get("enabled", False))
     dcfg = opt["model"].get("diffusion") or {}
     sampler_kwargs = {}
-    if dcfg.get("sampler"):  # config extension: "ddpm" (default) or "ddim"
+    # config extension: "ddpm" (default), "ddim", or "dpm" (DPM-Solver++(2M);
+    # ddim_steps doubles as its step count)
+    if dcfg.get("sampler"):
         sampler_kwargs = {
             "sampler": dcfg["sampler"],
             "ddim_steps": int(dcfg.get("ddim_steps", 50)),

@@ -134,6 +134,101 @@ def sample_chain(
     return img, frames
 
 
+def dpm_solver_chain(
+    schedule: Schedule,
+    denoise_fn: DenoiseFn,
+    shape: tuple,
+    key: jax.Array,
+    steps: int = 25,
+    clip_denoised: bool = True,
+    keep_every: Optional[int] = None,
+) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
+    """DPM-Solver++(2M) (Lu et al., arXiv:2211.01095) — deterministic
+    second-order multistep ODE sampler in the data (x0) parameterization.
+
+    Beyond-reference fast sampler one tier above DDIM: the linear multistep
+    extrapolation of the x0 prediction in log-SNR (lambda) space halves the
+    discretization error order, so ~20-25 steps match what DDIM needs ~50-100
+    for. Reuses the DDIM timestep sub-sequence, conditioning levels
+    (sqrt(acp[tau]), exactly what the model trained on), and scan structure —
+    per-step cost is one denoiser call, identical to ddim_sample_chain.
+
+    Derivation notes: with a_s/a_t the source/dest alphas_cumprod of one
+    step, e^{-h} = (alpha_s * sigma_t) / (sigma_s * alpha_t) — computed in
+    that closed form so the final step to acp=1 (sigma_t=0 => e^{-h}=0) needs
+    no infinite-lambda handling. The first executed step and the final step
+    use the first-order update (D = x0), which IS the DDIM(eta=0) update
+    ("lower_order_final"); intermediate steps extrapolate
+    D = (1 + c) x0_i - c x0_{i-1} with c = h_i / (2 h_{i-1}).
+
+    keep_every: as in ddim_sample_chain — additionally return every
+    keep_every-th intermediate as [S // keep_every, *shape].
+    """
+    import numpy as np
+
+    t_total = schedule.num_timesteps
+    steps = min(int(steps), t_total)
+    taus = np.unique(np.linspace(0, t_total - 1, steps).round().astype(np.int64))
+
+    acp = np.asarray(schedule.alphas_cumprod, np.float64)
+    # execution order: descending tau; dest of step j is src of step j+1,
+    # final dest is acp=1 (pure x0 output, mirroring ddim's a_prev)
+    a_src = acp[taus[::-1]]
+    a_dst = np.concatenate([a_src[1:], [1.0]])
+    al_s, sg_s = np.sqrt(a_src), np.sqrt(1.0 - a_src)
+    al_t, sg_t = np.sqrt(a_dst), np.sqrt(1.0 - a_dst)
+    em1 = al_s * sg_t / (sg_s * al_t) - 1.0          # e^{-h} - 1
+    lam_s = 0.5 * np.log(a_src / (1.0 - a_src))
+    with np.errstate(divide="ignore"):               # final lambda_t = +inf
+        lam_t = 0.5 * np.log(a_dst / np.maximum(1.0 - a_dst, 0.0))
+    h = lam_t - lam_s
+    c = np.zeros_like(h)                              # h_i / (2 h_{i-1})
+    if len(h) > 2:
+        c[1:-1] = h[1:-1] / (2.0 * h[:-2])
+    # c[0] = 0: no previous x0 yet; c[-1] = 0: lower-order final (h=inf)
+
+    lvl = np.asarray(schedule.sqrt_alphas_cumprod_prev)[taus[::-1] + 1]
+    f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
+    xs = tuple(map(f32, (sg_t / sg_s, al_t, em1, c, np.sqrt(a_src), sg_s, lvl)))
+
+    # split exactly like ddim_sample_chain so the same key draws the same
+    # initial noise across samplers (the chain part is unused: deterministic)
+    k_init, _ = jax.random.split(key)
+    img = jax.random.normal(k_init, shape)
+    prev_x0 = jnp.zeros(shape, img.dtype)
+
+    def step(carry, inp):
+        img, prev_x0 = carry
+        sig_ratio, alpha_t, em1_, c_, sqrt_as, sig_s, lvl_ = inp
+        b = img.shape[0]
+        eps = denoise_fn(img, jnp.broadcast_to(lvl_, (b,)))
+        x0 = (img - sig_s * eps) / sqrt_as
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        d = (1.0 + c_) * x0 - c_ * prev_x0
+        img = sig_ratio * img - alpha_t * em1_ * d
+        return (img, x0), None
+
+    if keep_every is None:
+        (img, _), _ = jax.lax.scan(step, (img, prev_x0), xs)
+        return img
+
+    k = int(keep_every)
+    s_total = len(taus)
+    n_seg = s_total // k
+    main = tuple(x[: n_seg * k].reshape(n_seg, k, *x.shape[1:]) for x in xs)
+    tail = tuple(x[n_seg * k :] for x in xs)
+
+    def segment(carry, seg_xs):
+        out, _ = jax.lax.scan(step, carry, seg_xs)
+        return out, out[0]
+
+    (img, prev_x0), frames = jax.lax.scan(segment, (img, prev_x0), main)
+    for j in range(s_total - n_seg * k):
+        (img, prev_x0), _ = step((img, prev_x0), tuple(x[j] for x in tail))
+    return img, frames
+
+
 def ddim_sample_chain(
     schedule: Schedule,
     denoise_fn: DenoiseFn,

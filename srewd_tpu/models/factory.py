@@ -44,6 +44,7 @@ import jax.numpy as jnp
 
 from ..diffusion.gaussian import (
     ddim_sample_chain,
+    dpm_solver_chain,
     draw_time_and_gamma,
     q_sample,
     sample_chain,
@@ -209,8 +210,10 @@ class DiffusionModel:
 
         keep_every: reference `continous=True` mode — additionally return
         every keep_every-th intermediate field as [K, B, H, W, C].
-        sampler: "ddpm" (reference semantics) or "ddim"
-        (arXiv:2010.02502 sub-sequence sampler; `ddim_steps`, `ddim_eta`).
+        sampler: "ddpm" (reference semantics), "ddim" (arXiv:2010.02502
+        sub-sequence sampler; `ddim_steps`, `ddim_eta`), or "dpm"
+        (DPM-Solver++(2M), arXiv:2211.01095 — second-order deterministic;
+        reuses `ddim_steps` as its step count, `ddim_eta` ignored).
         """
         cond = self.condition(params, batch)
         x_in0, kwargs = self._unet_inputs(params, batch, cond, jnp.zeros_like(cond))
@@ -242,6 +245,12 @@ class DiffusionModel:
                 out = ddim_sample_chain(
                     schedule, denoise_fn, cond.shape, rng,
                     steps=ddim_steps, eta=ddim_eta, clip_denoised=clip_denoised,
+                    keep_every=keep_every,
+                )
+            elif sampler == "dpm":
+                out = dpm_solver_chain(
+                    schedule, denoise_fn, cond.shape, rng,
+                    steps=ddim_steps, clip_denoised=clip_denoised,
                     keep_every=keep_every,
                 )
             else:

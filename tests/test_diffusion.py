@@ -310,3 +310,144 @@ class TestDDIM:
                             sampler="ddim", ddim_steps=10)
         assert out.shape == batch["HR"].shape
         assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestDPMSolver:
+    """DPM-Solver++(2M) (arXiv:2211.01095) — beyond-reference fast sampler."""
+
+    def _perfect_denoiser(self, x0):
+        def fn(x, lvl):
+            a = (lvl**2).reshape(-1, 1, 1, 1)
+            return (x - jnp.sqrt(a) * x0) / jnp.sqrt(1.0 - a)
+
+        return fn
+
+    def test_recovers_x0_with_oracle_denoiser(self):
+        import jax
+
+        from srewd_tpu.diffusion.gaussian import dpm_solver_chain
+        from srewd_tpu.diffusion.schedule import Schedule
+
+        sched = Schedule.create("linear", n_timestep=100,
+                                linear_start=1e-4, linear_end=2e-2)
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 8, 16, 1)), jnp.float32)
+        for steps in (100, 10, 3, 1):
+            out = dpm_solver_chain(
+                sched, self._perfect_denoiser(x0), x0.shape,
+                jax.random.key(1), steps=steps,
+            )
+            np.testing.assert_allclose(np.asarray(out), np.asarray(x0),
+                                       atol=2e-3, err_msg=f"steps={steps}")
+
+    def test_two_steps_equals_ddim(self):
+        """With <=2 steps every update is first-order, which IS DDIM eta=0
+        (the closed-form e^{-h} identity in the docstring) — bit-near."""
+        import jax
+
+        from srewd_tpu.diffusion.gaussian import (
+            ddim_sample_chain,
+            dpm_solver_chain,
+        )
+        from srewd_tpu.diffusion.schedule import Schedule
+
+        sched = Schedule.create("linear", n_timestep=50)
+
+        def mock(x, lvl):
+            return 0.1 * x + 0.05 * lvl.reshape(-1, 1, 1, 1)
+
+        for steps in (1, 2):
+            a = dpm_solver_chain(sched, mock, (2, 4, 8, 1),
+                                 jax.random.key(3), steps=steps)
+            b = ddim_sample_chain(sched, mock, (2, 4, 8, 1),
+                                  jax.random.key(3), steps=steps, eta=0.0)
+            a2 = dpm_solver_chain(sched, mock, (2, 4, 8, 1),
+                                  jax.random.key(99), steps=steps)
+            assert not np.allclose(np.asarray(a), np.asarray(a2))  # key matters
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6,
+                                       err_msg=f"steps={steps}")
+
+    def test_second_order_beats_ddim_at_equal_budget(self):
+        """The point of the solver: against a tight-step DDIM reference of the
+        same probability-flow ODE, DPM++(2M) at S steps lands closer than
+        DDIM at S steps (clipping off so the ODE is smooth)."""
+        import jax
+
+        from srewd_tpu.diffusion.gaussian import (
+            ddim_sample_chain,
+            dpm_solver_chain,
+        )
+        from srewd_tpu.diffusion.schedule import Schedule
+
+        sched = Schedule.create("linear", n_timestep=1000,
+                                linear_start=1e-6, linear_end=1e-2)
+
+        def mock(x, lvl):
+            return jnp.tanh(0.5 * x) + 0.1 * lvl.reshape(-1, 1, 1, 1)
+
+        key = jax.random.key(7)
+        shape = (2, 4, 8, 1)
+        ref = np.asarray(ddim_sample_chain(
+            sched, mock, shape, key, steps=1000, eta=0.0, clip_denoised=False))
+        for s in (10, 15, 25):
+            e_dpm = np.abs(np.asarray(dpm_solver_chain(
+                sched, mock, shape, key, steps=s, clip_denoised=False)) - ref).mean()
+            e_ddim = np.abs(np.asarray(ddim_sample_chain(
+                sched, mock, shape, key, steps=s, eta=0.0,
+                clip_denoised=False)) - ref).mean()
+            assert e_dpm < e_ddim, f"steps={s}: dpm {e_dpm} vs ddim {e_ddim}"
+
+    def test_keep_every_matches_plain(self):
+        import jax
+
+        from srewd_tpu.diffusion.gaussian import dpm_solver_chain
+        from srewd_tpu.diffusion.schedule import Schedule
+
+        sched = Schedule.create("linear", n_timestep=40)
+
+        def mock(x, lvl):
+            return 0.1 * x + 0.05 * lvl.reshape(-1, 1, 1, 1)
+
+        key = jax.random.key(2)
+        plain = dpm_solver_chain(sched, mock, (2, 8, 16, 1), key, steps=10)
+        # non-dividing keep_every: tail steps run after the last frame
+        final, frames = dpm_solver_chain(
+            sched, mock, (2, 8, 16, 1), key, steps=10, keep_every=3
+        )
+        assert frames.shape == (3, 2, 8, 16, 1)
+        np.testing.assert_allclose(np.asarray(final), np.asarray(plain), atol=1e-6)
+        # dividing keep_every: the last frame IS the final image
+        final5, frames5 = dpm_solver_chain(
+            sched, mock, (2, 8, 16, 1), key, steps=10, keep_every=5
+        )
+        np.testing.assert_allclose(np.asarray(final5), np.asarray(plain), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(frames5[-1]), np.asarray(final5),
+                                   atol=1e-6)
+
+    def test_model_api_dpm(self):
+        """generate_sr(sampler='dpm') routes and applies residual addback."""
+        import jax
+
+        from srewd_tpu.diffusion.schedule import Schedule
+        from srewd_tpu.models.factory import DiffusionModel
+        from srewd_tpu.models.unet import WeatherUNet
+        from srewd_tpu.ops.resize import bicubic_up4
+
+        unet = WeatherUNet(variant="sr3", out_channel=1, inner_channel=8,
+                           norm_groups=4, channel_mults=(1, 2), attn_res=(8,),
+                           res_blocks=1, image_height=16, image_width=32,
+                           image_channels=1)
+        m = DiffusionModel(arch="sr3", unet=unet)
+        sched = Schedule.create("linear", n_timestep=50)
+        rng = np.random.default_rng(1)
+        batch = {
+            "HR": jnp.asarray(rng.standard_normal((2, 16, 32, 1)), jnp.float32),
+            "LR": jnp.asarray(rng.standard_normal((2, 4, 8, 1)), jnp.float32),
+        }
+        batch["SR"] = bicubic_up4(batch["LR"])
+        p = m.init(jax.random.key(0), batch)
+        out = m.generate_sr(p, batch, jax.random.key(2), sched,
+                            sampler="dpm", ddim_steps=8)
+        assert out.shape == batch["HR"].shape
+        assert bool(jnp.all(jnp.isfinite(out)))
