@@ -23,7 +23,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 RUNS = [
     {"BENCH_ARCH": a} for a in ("sr3", "resdiff", "phydiff", "srdiff", "physrdiff")
-] + [{"BENCH_ARCH": "sr3", "BENCH_SAMPLER": "ddim", "BENCH_DDIM_STEPS": "50"}]
+] + [
+    {"BENCH_ARCH": "sr3", "BENCH_SAMPLER": "ddim", "BENCH_DDIM_STEPS": "50"},
+    {"BENCH_ARCH": "sr3", "BENCH_SAMPLER": "dpm", "BENCH_DDIM_STEPS": "25"},
+]
 
 
 def main():
