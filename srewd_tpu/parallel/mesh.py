@@ -47,3 +47,35 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """device_put a host batch dict with the batch axis sharded on 'data'."""
     sh = batch_sharding(mesh)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def param_placement(tree, mesh: Mesh, min_shard_dim: int | None = None):
+    """Per-leaf NamedSharding pytree implementing lazy tensor parallelism.
+
+    With min_shard_dim=None (or a mesh whose 'model' axis is 1) every leaf is
+    replicated — the plain DP placement. Otherwise any leaf whose LAST axis
+    is >= min_shard_dim and divisible by the 'model' axis size is sharded on
+    that axis. For NHWC conv kernels [kh, kw, cin, cout] and their [cout]
+    biases this is column-parallel TP: each device holds 1/model of the
+    output channels, GSPMD propagates the sharding through the network and
+    inserts the all-gathers/reduce-scatters (over ICI) where layers
+    consume full-channel activations — no hand-written collectives. The same
+    shape rule placed over the optax state shards the Adam mu/nu moments
+    identically (they mirror param shapes), so optimizer memory scales down
+    with the axis too.
+    """
+    msize = dict(mesh.shape).get("model", 1)
+
+    def spec_for(x):
+        shape = getattr(x, "shape", ())
+        if (
+            min_shard_dim is not None
+            and msize > 1
+            and len(shape) >= 1
+            and shape[-1] >= min_shard_dim
+            and shape[-1] % msize == 0
+        ):
+            return NamedSharding(mesh, P(*([None] * (len(shape) - 1)), "model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec_for, tree)

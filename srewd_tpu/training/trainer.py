@@ -31,7 +31,7 @@ import optax
 from ..diffusion.schedule import Schedule
 from ..models.factory import DiffusionModel
 from ..ops.resize import bicubic_up4
-from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from ..parallel.mesh import batch_sharding, make_mesh, param_placement
 from ..utils.profiling import StepTimer, trace
 from .checkpoint import CheckpointManager
 from .metrics import TrainMetrics, ValidationMetrics, create_metric_dict
@@ -50,7 +50,13 @@ class DiffusionTrainer:
         seed: int = 0,
         checkpoint_dir: Optional[str] = None,
         sampler_kwargs: Optional[dict] = None,
+        model_shard_min_dim: Optional[int] = None,
     ):
+        # model_shard_min_dim: opt-in lazy tensor parallelism — params whose
+        # last (output-channel) dim is >= this and divisible by the mesh
+        # 'model' axis are sharded over it (parallel.mesh.param_placement);
+        # None (default) keeps the replicated-params DP placement.
+        self.model_shard_min_dim = model_shard_min_dim
         # e.g. {"sampler": "ddim", "ddim_steps": 50, "ddim_eta": 0.0}
         self.sampler_kwargs = dict(sampler_kwargs or {})
         self.model = model
@@ -119,8 +125,14 @@ class DiffusionTrainer:
         self._sample_val = make_sample_fn(self.schedule_val)
 
     # ------------------------------------------------------------------ state
+    def _place(self, tree):
+        """device_put with the param placement (replicated, or TP-sharded
+        leaves when model_shard_min_dim is set — see param_placement)."""
+        return jax.device_put(
+            tree, param_placement(tree, self.mesh, self.model_shard_min_dim)
+        )
+
     def init_params(self, example_batch: dict) -> None:
-        rep = replicated_sharding(self.mesh)
         if jax.process_count() > 1:
             # multi-host: flax init + optax init run EAGERLY, which cannot
             # execute on arrays sharded over non-addressable devices — trace
@@ -133,15 +145,15 @@ class DiffusionTrainer:
             }
             params = jax.tree.map(np.asarray, self.model.init(self.base_key, local))
             opt_state = jax.tree.map(np.asarray, self.tx.init(params))
-            self.params = jax.device_put(params, rep)
-            self.opt_state = jax.device_put(opt_state, rep)
+            self.params = self._place(params)
+            self.opt_state = self._place(opt_state)
             if self.ema_decay is not None:
-                self.ema_params = jax.device_put(params, rep)  # independent copy
+                self.ema_params = self._place(params)  # independent copy
             return
         batch = self._device_batch(example_batch)
         params = self.model.init(self.base_key, batch)
-        self.params = jax.device_put(params, rep)
-        self.opt_state = jax.device_put(self.tx.init(self.params), rep)
+        self.params = self._place(params)
+        self.opt_state = self._place(self.tx.init(self.params))
         if self.ema_decay is not None:
             # deep-copy: train_step donates the params buffers, so the EMA
             # tree must not alias them
@@ -158,11 +170,10 @@ class DiffusionTrainer:
             target["ema_params"] = self.ema_params
         mgr = self.ckpt or CheckpointManager(path.rsplit("/", 1)[0])
         state = mgr.restore(path, target)
-        rep = replicated_sharding(self.mesh)
-        self.params = jax.device_put(state["params"], rep)
-        self.opt_state = jax.device_put(state["opt_state"], rep)
+        self.params = self._place(state["params"])
+        self.opt_state = self._place(state["opt_state"])
         if "ema_params" in state and state["ema_params"] is not None:
-            self.ema_params = jax.device_put(state["ema_params"], rep)
+            self.ema_params = self._place(state["ema_params"])
         self.step = int(state["step"])
         self.epoch = int(state["epoch"])
 
@@ -191,9 +202,7 @@ class DiffusionTrainer:
                 for k, v in init.items()
             }
 
-        self.params = jax.device_put(
-            merge(self.params, loaded), replicated_sharding(self.mesh)
-        )
+        self.params = self._place(merge(self.params, loaded))
         if self.ema_params is not None:
             # re-seed the EMA from the loaded weights — otherwise it keeps
             # tracking the random init for ~1/(1-decay) steps

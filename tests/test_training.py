@@ -160,6 +160,52 @@ class TestSPMD:
         assert bool(jnp.all(jnp.isfinite(sr)))
 
 
+class TestTensorParallel:
+    """Lazy tensor parallelism: conv output channels sharded over the mesh
+    'model' axis via placement (parallel.mesh.param_placement); GSPMD
+    propagates the sharding and inserts the ICI collectives. The 2-D
+    (data=4, model=2) program must hold genuinely sharded state and compute
+    the same math as plain DP."""
+
+    def _tp_trainer(self):
+        sched = Schedule.create("linear", n_timestep=8)
+        return DiffusionTrainer(
+            model=_model(), schedule_train=sched, schedule_val=sched,
+            optimizer=optax.adam(1e-3),
+            mesh=make_mesh(8, model_parallel=2), seed=0,
+            model_shard_min_dim=8,
+        )
+
+    def test_params_and_moments_actually_sharded(self):
+        t = self._tp_trainer()
+        t.init_params(_batch(0))
+        sharded = [
+            p for p in jax.tree.leaves(t.params)
+            if "model" in tuple(p.sharding.spec)
+        ]
+        assert sharded, "no param leaf sharded over 'model'"
+        p = max(sharded, key=lambda x: x.size)
+        assert p.addressable_shards[0].data.shape[-1] == p.shape[-1] // 2
+        # Adam mu/nu mirror param shapes -> shard identically
+        assert any(
+            "model" in tuple(m.sharding.spec)
+            for m in jax.tree.leaves(t.opt_state)
+            if hasattr(m, "sharding")
+        ), "no optimizer-state leaf sharded over 'model'"
+
+    def test_tp2_matches_dp(self):
+        tdp = _trainer(n_devices=8)
+        ttp = self._tp_trainer()
+        tdp.init_params(_batch(0))
+        ttp.init_params(_batch(0))
+        for i in range(3):
+            ldp = tdp.train_on_batch(_batch(i))
+            ltp = ttp.train_on_batch(_batch(i))
+            assert ldp == pytest.approx(ltp, rel=2e-4)
+        for a, b in zip(_leaves(tdp.params), _leaves(ttp.params)):
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
 class TestSPMDFlash:
     """Pallas flash kernels under a multi-device mesh (VERDICT r2 #1).
 
