@@ -167,13 +167,13 @@ class TestTensorParallel:
     (data=4, model=2) program must hold genuinely sharded state and compute
     the same math as plain DP."""
 
-    def _tp_trainer(self):
+    def _tp_trainer(self, ckpt_dir=None):
         sched = Schedule.create("linear", n_timestep=8)
         return DiffusionTrainer(
             model=_model(), schedule_train=sched, schedule_val=sched,
             optimizer=optax.adam(1e-3),
             mesh=make_mesh(8, model_parallel=2), seed=0,
-            model_shard_min_dim=8,
+            model_shard_min_dim=8, checkpoint_dir=ckpt_dir,
         )
 
     def test_params_and_moments_actually_sharded(self):
@@ -192,6 +192,24 @@ class TestTensorParallel:
             for m in jax.tree.leaves(t.opt_state)
             if hasattr(m, "sharding")
         ), "no optimizer-state leaf sharded over 'model'"
+
+    def test_tp_checkpoint_resume_roundtrip(self, tmp_path):
+        t = self._tp_trainer(ckpt_dir=str(tmp_path))
+        t.init_params(_batch(0))
+        for i in range(2):
+            t.train_on_batch(_batch(i))
+        path = t.save()
+        t2 = self._tp_trainer(ckpt_dir=str(tmp_path))
+        t2.init_params(_batch(0))
+        t2.resume(path)
+        assert t2.step == 2
+        # restored tree keeps the TP placement and the exact values
+        assert any(
+            "model" in tuple(p.sharding.spec)
+            for p in jax.tree.leaves(t2.params)
+        )
+        for a, b in zip(_leaves(t.params), _leaves(t2.params)):
+            np.testing.assert_allclose(a, b, rtol=1e-6)
 
     def test_tp2_matches_dp(self):
         tdp = _trainer(n_devices=8)
