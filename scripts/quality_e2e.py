@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""End-to-end quality benchmark on real hardware: trained SR vs bicubic.
+
+Trains the full-size (32x64 -> 128x256) sr3 model on the synthetic
+WeatherBench tree — whose HR fields carry deterministic sub-grid structure
+(piecewise-constant 16x16-pixel texture tiles; LR is the exact 4x block
+mean, so the fine structure is recoverable from LR while bicubic
+interpolation provably smears tile edges; data/store.py
+make_synthetic_weatherbench) — then scores SR against HR with the six
+reference validation metrics (training/metrics.py parity set, Kelvin
+space) on held-out dates, next to the bicubic-interpolation baseline the
+reference only ever visualizes (reference training/visualization.py's
+INTERPOLATED product).
+
+The same trained checkpoint is scored under all three samplers
+(ddpm-1000 = reference semantics, ddim-50, dpm-25) — the fast-sampler
+quality claim demonstrated on an actually-trained model, not just the
+analytic-oracle test in tests/test_diffusion.py.
+
+    python scripts/quality_e2e.py [--iters 3000] [--out QUALITY_r03.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--val-batches", type=int, default=4)
+    ap.add_argument("--arch", default="sr3")
+    ap.add_argument("--tval", type=int, default=1000,
+                    help="val-schedule n_timestep (ddpm chain length)")
+    ap.add_argument("--ddim-steps", type=int, default=50)
+    ap.add_argument("--dpm-steps", type=int, default=25)
+    ap.add_argument("--hr-shape", type=int, nargs=2, default=(128, 256),
+                    help="HR grid (smoke tests can shrink it)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) for debugging")
+    ap.add_argument("--out", default="QUALITY_r03.json")
+    args = ap.parse_args()
+    hr_shape = tuple(args.hr_shape)
+    lr_shape = (hr_shape[0] // 4, hr_shape[1] // 4)
+
+    if args.platform:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+
+    from srewd_tpu.cli import build_data_handler, build_trainer
+    from srewd_tpu.configs.config import load_commented_json
+    from srewd_tpu.data.store import make_synthetic_weatherbench
+    from srewd_tpu.ops.resize import bicubic_up4
+    from srewd_tpu.training.metrics import ValidationMetrics, create_metric_dict
+
+    work = Path(tempfile.mkdtemp(prefix="srewd_quality_"))
+    dataroot = make_synthetic_weatherbench(
+        str(work / "data"), "2017-01-01-00", "2017-02-01-00",
+        lr_shape=lr_shape, hr_shape=hr_shape,
+    )
+
+    opt = load_commented_json(
+        str(REPO / "configs/experiment_configs/sr3/sr3_base_train.json")
+    )
+    opt["model"]["architecture"] = args.arch
+    opt["model"]["unet"]["dropout"] = 0.0
+    opt["data"].update(
+        dataroot=dataroot,
+        batch_size=args.batch,
+        val_batch_size=args.batch,
+        train_min_date="2017-01-01-00",
+        train_max_date="2017-01-26-00",
+        val_min_date="2017-01-26-00",
+        val_max_date="2017-01-31-23",
+    )
+    opt["model"]["beta_schedule"]["val"]["n_timestep"] = args.tval
+    opt["model"]["diffusion"]["image_height"] = hr_shape[0]
+    opt["model"]["diffusion"]["image_width"] = hr_shape[1]
+    opt["data"]["height"] = hr_shape[0]
+    tg = opt["data"].get("transform_groups")
+    if isinstance(tg, dict):  # Config normally flattens this (config.py)
+        opt["data"]["transform_groups"] = list(tg.values())
+
+    dh = build_data_handler(opt)
+    example = next(iter(dh.train_batches(0)))
+    trainer = build_trainer(opt, example)
+
+    # ------------------------------------------------------------- train
+    t0 = time.time()
+    pending, loss_log = [], []
+    step, epoch = 0, 0
+    while step < args.iters:
+        for batch in dh.train_batches(epoch):
+            pending.append(trainer.train_on_batch_async(batch))
+            step += 1
+            if len(pending) >= 100:
+                vals = np.asarray(jnp.stack(pending))
+                pending = []
+                loss_log.append(round(float(vals.mean()), 4))
+                print(
+                    f"[train] step {step:5d}  loss(mean100) {loss_log[-1]:.4f}"
+                    f"  {step / (time.time() - t0):.2f} steps/s",
+                    flush=True,
+                )
+            if step >= args.iters:
+                break
+        epoch += 1
+    if pending:
+        loss_log.append(round(float(np.asarray(jnp.stack(pending)).mean()), 4))
+    train_wall = time.time() - t0
+
+    # -------------------------------------------------------------- eval
+    def val_batches():
+        for i, batch in enumerate(dh.val_batches()):
+            if i >= args.val_batches:
+                break
+            yield i, batch
+
+    def eval_sampler(label: str, sampler_kwargs: dict) -> dict:
+        trainer.sampler_kwargs = dict(sampler_kwargs)
+        trainer._build_steps()  # rebuild _sample_val with the new sampler
+        vm = ValidationMetrics(create_metric_dict())
+        te = time.time()
+        for i, batch in val_batches():
+            sr = trainer.sample_batch(batch, fold=i + 1)
+            inv = dh.inverse_transform(
+                {"SR": np.asarray(sr), "HR": np.asarray(batch["HR"])},
+                batch["months"],
+            )
+            vm.update(inv["HR"], inv["SR"])
+        m = {k: round(v, 5) for k, v in vm.compute_metrics().items()}
+        wall = round(time.time() - te, 1)
+        print(f"[eval:{label}] {m} | wall {wall}s", flush=True)
+        return {"metrics": m, "wall_sec": wall}
+
+    # bicubic INTERPOLATED baseline (sampler-independent)
+    vmb = ValidationMetrics(create_metric_dict())
+    for _, batch in val_batches():
+        inf = np.asarray(bicubic_up4(jnp.asarray(batch["LR"])))
+        inv = dh.inverse_transform(
+            {"INF": inf, "HR": np.asarray(batch["HR"])}, batch["months"]
+        )
+        vmb.update(inv["HR"], inv["INF"])
+    bic = {k: round(v, 5) for k, v in vmb.compute_metrics().items()}
+    print(f"[eval:bicubic] {bic}", flush=True)
+
+    samplers = {
+        f"ddpm-{args.tval}": {},
+        f"ddim-{args.ddim_steps}": {"sampler": "ddim", "ddim_steps": args.ddim_steps},
+        f"dpm-{args.dpm_steps}": {"sampler": "dpm", "ddim_steps": args.dpm_steps},
+    }
+    rows = {label: eval_sampler(label, kw) for label, kw in samplers.items()}
+
+    out = {
+        "arch": args.arch,
+        "iters": args.iters,
+        "batch": args.batch,
+        "val_fields": args.val_batches * args.batch,
+        "train_wall_sec": round(train_wall, 1),
+        "train_steps_per_sec": round(args.iters / train_wall, 2),
+        "train_loss_mean100": loss_log,
+        "bicubic": {"metrics": bic},
+        "samplers": rows,
+        "rmse_vs_bicubic": {
+            label: round(r["metrics"]["RMSE"] / bic["RMSE"], 4)
+            for label, r in rows.items()
+        },
+    }
+    Path(args.out).write_text(json.dumps(out, indent=1) + "\n")
+    print(json.dumps(out["rmse_vs_bicubic"]))
+    print(f"QUALITY OK -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
