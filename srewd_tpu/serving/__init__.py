@@ -1,0 +1,7 @@
+"""Production serving layer (beyond the reference, which stops at a
+one-shot sample.py CLI): a persistent batched sampler service plus a
+minimal HTTP front-end (scripts/serve.py)."""
+
+from .service import SamplerService
+
+__all__ = ["SamplerService"]

@@ -1,0 +1,188 @@
+"""Serving-layer tests: batching, padding, determinism, Kelvin boundary,
+error propagation, and the HTTP front-end.
+
+Beyond-reference subsystem (the reference stops at a one-shot sample.py);
+these pin the deployment contract: a request's fields are bit-identical
+to a direct generate_sr call with the same packing and key schedule."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srewd_tpu.data.scalers import MonthlyScalerSet
+from srewd_tpu.diffusion.schedule import Schedule
+from srewd_tpu.models.factory import DiffusionModel
+from srewd_tpu.models.unet import WeatherUNet
+from srewd_tpu.parallel.mesh import make_mesh
+from srewd_tpu.serving import SamplerService
+from srewd_tpu.serving.http import _b64_decode, _b64_encode, make_server
+
+H, W = 16, 32
+LH, LW = H // 4, W // 4
+
+
+@pytest.fixture(scope="module")
+def stack():
+    model = DiffusionModel(
+        arch="sr3",
+        unet=WeatherUNet(
+            variant="sr3", out_channel=1, inner_channel=8, norm_groups=4,
+            channel_mults=(1, 2), attn_res=(8,), res_blocks=1, dropout=0.0,
+            image_height=H, image_width=W, image_channels=1,
+        ),
+    )
+    batch = {
+        "HR": np.zeros((4, H, W, 1), np.float32),
+        "LR": np.zeros((4, LH, LW, 1), np.float32),
+    }
+    params = model.init(jax.random.key(0), batch)
+    sched = Schedule.create("linear", n_timestep=6)
+    return model, params, sched
+
+
+def _lr(n, seed=0):
+    return np.random.default_rng(seed).standard_normal(
+        (n, LH, LW, 1)).astype(np.float32)
+
+
+def _direct(stack_t, lr, seq):
+    """What the service must produce for device batch `seq` holding `lr`."""
+    model, params, sched = stack_t
+    key = jax.random.fold_in(jax.random.key(0), seq)
+    fn = jax.jit(lambda p, x, k: model.generate_sr(p, {"LR": x}, k, sched))
+    return np.asarray(fn(params, jnp.asarray(lr), key))
+
+
+class TestBatching:
+    def test_single_batch_parity(self, stack):
+        lr = _lr(4)
+        with SamplerService(*stack, batch_size=4, mesh=make_mesh(1)) as svc:
+            sr = svc.super_resolve(lr, np.ones(4, np.int32))
+        assert sr.shape == (4, H, W, 1)
+        np.testing.assert_allclose(sr, _direct(stack, lr, 0), atol=1e-5)
+
+    def test_split_and_pad(self, stack):
+        lr = _lr(6, seed=1)
+        with SamplerService(*stack, batch_size=4, mesh=make_mesh(1)) as svc:
+            sr = svc.super_resolve(lr, np.ones(6, np.int32))
+            stats = svc.stats()
+        assert sr.shape == (6, H, W, 1)
+        assert stats["device_batches"] == 2
+        assert stats["padded_fields"] == 2
+        np.testing.assert_allclose(sr[:4], _direct(stack, lr[:4], 0), atol=1e-5)
+        # tail batch: rows 4,5 padded with row 4 repeated
+        padded = np.stack([lr[4], lr[5], lr[4], lr[4]])
+        np.testing.assert_allclose(sr[4:], _direct(stack, padded, 1)[:2], atol=1e-5)
+
+    def test_concurrent_requests_coalesce(self, stack):
+        lr = _lr(4, seed=2)
+        with SamplerService(*stack, batch_size=4, mesh=make_mesh(1),
+                            linger_ms=500.0) as svc:
+            futs = [svc.submit(lr[i:i + 1], np.ones(1, np.int32))
+                    for i in range(4)]
+            rows = [f.result() for f in futs]
+            stats = svc.stats()
+        assert stats["device_batches"] == 1
+        assert stats["padded_fields"] == 0
+        assert stats["requests"] == 4
+        expected = _direct(stack, lr, 0)
+        for i, row in enumerate(rows):
+            np.testing.assert_allclose(row[0], expected[i], atol=1e-5)
+
+    def test_closed_service_rejects(self, stack):
+        svc = SamplerService(*stack, batch_size=2, mesh=make_mesh(1))
+        svc.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            svc.submit(_lr(1), np.ones(1, np.int32))
+
+
+class TestKelvinBoundary:
+    def test_scalers_applied_both_ways(self, stack):
+        rng = np.random.default_rng(3)
+        mean = rng.normal(280, 5, (13, 1, 1, 1)).astype(np.float32)
+        std = rng.uniform(2, 4, (13, 1, 1, 1)).astype(np.float32)
+        sc_lr = MonthlyScalerSet(mean, std, "GlobalStandardScaling")
+        sc_hr = MonthlyScalerSet(mean + 1, std * 2, "GlobalStandardScaling")
+        months = np.array([1, 2, 3, 4], np.int32)
+        lr_kelvin = (rng.standard_normal((4, LH, LW, 1)) * 3 + 280).astype(np.float32)
+        with SamplerService(*stack, batch_size=4, mesh=make_mesh(1),
+                            transform_lr=sc_lr.transform,
+                            inverse_hr=sc_hr.inverse) as svc:
+            sr = svc.super_resolve(lr_kelvin, months)
+        norm = sc_lr.transform(lr_kelvin, months)
+        expected = sc_hr.inverse(_direct(stack, norm, 0), months)
+        np.testing.assert_allclose(sr, expected, atol=1e-4)
+
+    def test_error_propagates_and_service_survives(self, stack):
+        calls = {"n": 0}
+
+        def bad_inverse(x, m):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise ValueError("scaler exploded")
+            return x
+
+        with SamplerService(*stack, batch_size=2, mesh=make_mesh(1),
+                            inverse_hr=bad_inverse) as svc:
+            with pytest.raises(ValueError, match="scaler exploded"):
+                svc.super_resolve(_lr(2), np.ones(2, np.int32))
+            # next request still works
+            sr = svc.super_resolve(_lr(2, seed=5), np.ones(2, np.int32))
+        assert sr.shape == (2, H, W, 1)
+
+
+class TestHTTP:
+    @pytest.fixture()
+    def server(self, stack):
+        svc = SamplerService(*stack, batch_size=2, mesh=make_mesh(1))
+        srv = make_server(svc, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}", stack
+        srv.shutdown()
+        svc.close()
+
+    def _post(self, url, payload):
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    def test_healthz_and_stats(self, server):
+        url, _ = server
+        with urllib.request.urlopen(url + "/healthz") as r:
+            assert json.loads(r.read()) == {"ok": True}
+        with urllib.request.urlopen(url + "/v1/stats") as r:
+            assert json.loads(r.read())["batch_size"] == 2
+
+    def test_super_resolve_json(self, server):
+        url, stack_t = server
+        lr = _lr(2, seed=7)
+        out = self._post(url + "/v1/super_resolve",
+                         {"lr": lr.tolist(), "months": [1, 1]})
+        sr = np.asarray(out["sr"], np.float32)
+        np.testing.assert_allclose(sr, _direct(stack_t, lr, 0), atol=1e-4)
+
+    def test_super_resolve_b64(self, server):
+        url, _ = server
+        lr = _lr(2, seed=8)
+        out = self._post(url + "/v1/super_resolve",
+                         {"lr_b64": _b64_encode(lr), "months": [1, 1]})
+        sr = _b64_decode(out["sr_b64"])
+        assert sr.shape == (2, H, W, 1)
+
+    def test_bad_request_is_400(self, server):
+        url, _ = server
+        req = urllib.request.Request(
+            url + "/v1/super_resolve", data=b'{"months": [1]}')
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
