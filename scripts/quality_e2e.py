@@ -49,6 +49,11 @@ def main():
                     help="HR grid (smoke tests can shrink it)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) for debugging")
+    ap.add_argument("--workdir", default=None,
+                    help="pin the work directory (default: fresh tempdir)")
+    ap.add_argument("--reuse-params", default=None,
+                    help="skip training; load params from this .pkl "
+                         "(written by a previous run as <workdir>/params.pkl)")
     ap.add_argument("--out", default="QUALITY_r03.json")
     args = ap.parse_args()
     hr_shape = tuple(args.hr_shape)
@@ -70,7 +75,12 @@ def main():
     from srewd_tpu.ops.resize import bicubic_up4
     from srewd_tpu.training.metrics import ValidationMetrics, create_metric_dict
 
-    work = Path(tempfile.mkdtemp(prefix="srewd_quality_"))
+    if args.workdir:
+        work = Path(args.workdir)
+        work.mkdir(parents=True, exist_ok=True)
+    else:
+        work = Path(tempfile.mkdtemp(prefix="srewd_quality_"))
+    print(f"[workdir] {work}", flush=True)
     dataroot = make_synthetic_weatherbench(
         str(work / "data"), "2017-01-01-00", "2017-02-01-00",
         lr_shape=lr_shape, hr_shape=hr_shape,
@@ -103,27 +113,42 @@ def main():
     trainer = build_trainer(opt, example)
 
     # ------------------------------------------------------------- train
+    import pickle
+
     t0 = time.time()
     pending, loss_log = [], []
-    step, epoch = 0, 0
-    while step < args.iters:
-        for batch in dh.train_batches(epoch):
-            pending.append(trainer.train_on_batch_async(batch))
-            step += 1
-            if len(pending) >= 100:
-                vals = np.asarray(jnp.stack(pending))
-                pending = []
-                loss_log.append(round(float(vals.mean()), 4))
-                print(
-                    f"[train] step {step:5d}  loss(mean100) {loss_log[-1]:.4f}"
-                    f"  {step / (time.time() - t0):.2f} steps/s",
-                    flush=True,
-                )
-            if step >= args.iters:
-                break
-        epoch += 1
-    if pending:
-        loss_log.append(round(float(np.asarray(jnp.stack(pending)).mean()), 4))
+    if args.reuse_params:
+        import jax
+
+        with open(args.reuse_params, "rb") as f:
+            loaded = pickle.load(f)
+        trainer.params = jax.device_put(loaded, jax.devices()[0])
+        print(f"[train] skipped — reusing {args.reuse_params}", flush=True)
+    else:
+        step, epoch = 0, 0
+        while step < args.iters:
+            for batch in dh.train_batches(epoch):
+                pending.append(trainer.train_on_batch_async(batch))
+                step += 1
+                if len(pending) >= 100:
+                    vals = np.asarray(jnp.stack(pending))
+                    pending = []
+                    loss_log.append(round(float(vals.mean()), 4))
+                    print(
+                        f"[train] step {step:5d}  loss(mean100) {loss_log[-1]:.4f}"
+                        f"  {step / (time.time() - t0):.2f} steps/s",
+                        flush=True,
+                    )
+                if step >= args.iters:
+                    break
+            epoch += 1
+        if pending:
+            loss_log.append(round(float(np.asarray(jnp.stack(pending)).mean()), 4))
+        import jax
+
+        with open(work / "params.pkl", "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, trainer.params), f)
+        print(f"[train] params saved -> {work / 'params.pkl'}", flush=True)
     train_wall = time.time() - t0
 
     # -------------------------------------------------------------- eval
@@ -166,7 +191,14 @@ def main():
         f"ddim-{args.ddim_steps}": {"sampler": "ddim", "ddim_steps": args.ddim_steps},
         f"dpm-{args.dpm_steps}": {"sampler": "dpm", "ddim_steps": args.dpm_steps},
     }
-    rows = {label: eval_sampler(label, kw) for label, kw in samplers.items()}
+    # two variants per sampler: the reference's always-on x0 clamp to [-1,1]
+    # (diffusion.py:168-169 — saturates sigma-scaled fields beyond +-1 sigma)
+    # vs the config extension model.diffusion.clip_denoised=false
+    rows = {}
+    for label, kw in samplers.items():
+        rows[label] = eval_sampler(label, kw)
+        rows[label + "-noclip"] = eval_sampler(
+            label + "-noclip", {**kw, "clip_denoised": False})
 
     out = {
         "arch": args.arch,

@@ -67,6 +67,12 @@ def build_trainer(opt: dict, example_batch: dict, dtype=None) -> DiffusionTraine
             "ddim_steps": int(dcfg.get("ddim_steps", 50)),
             "ddim_eta": float(dcfg.get("ddim_eta", 0.0)),
         }
+    if "clip_denoised" in dcfg:
+        # config extension: the reference always clamps the x0 estimate to
+        # [-1,1] (diffusion.py:168-169) — correct for [-1,1]-ranged images,
+        # but on standard-scaled (sigma-unit) weather fields it saturates
+        # everything beyond +-1 sigma; quality_e2e.py measures the cost.
+        sampler_kwargs["clip_denoised"] = bool(dcfg["clip_denoised"])
     trainer = DiffusionTrainer(
         model,
         sched_train,

@@ -353,6 +353,63 @@ class TestSPMDLifecycle:
             assert ma[k] == pytest.approx(mb[k], rel=5e-3, abs=1e-4), k
 
 
+class TestBuildTrainerSamplerConfig:
+    """Config -> sampler_kwargs plumbing (cli.build_trainer), incl. the
+    clip_denoised extension: the reference always clamps the x0 estimate
+    to [-1,1] (diffusion.py:168-169); on sigma-scaled weather fields that
+    saturates everything beyond +-1 sigma (measured in QUALITY_r03.json),
+    so the config can turn it off."""
+
+    def _opt(self, dcfg_extra):
+        return {
+            "seed": 0,
+            "path": {},
+            "model": {
+                "architecture": "sr3",
+                "unet": {
+                    "in_channel": 2, "out_channel": 1, "inner_channel": 8,
+                    "norm_groups": 4, "channel_multiplier": [1, 2],
+                    "attn_res": [8], "res_blocks": 1, "dropout": 0.0,
+                },
+                "beta_schedule": {
+                    "train": {"schedule": "linear", "n_timestep": 8,
+                              "linear_start": 1e-6, "linear_end": 1e-2},
+                },
+                "diffusion": {
+                    "image_height": H, "image_width": W,
+                    "image_channels": 1, "channels": 1, "conditional": True,
+                    **dcfg_extra,
+                },
+            },
+            "train": {"optimizer": {"type": "adam", "lr": 1e-4}},
+        }
+
+    def test_clip_denoised_knob_reaches_sampler(self):
+        from srewd_tpu.cli import build_trainer
+
+        tr = build_trainer(self._opt({"clip_denoised": False}), _batch(0))
+        assert tr.sampler_kwargs == {"clip_denoised": False}
+
+    def test_default_keeps_reference_clamp(self):
+        from srewd_tpu.cli import build_trainer
+
+        tr = build_trainer(self._opt({}), _batch(0))
+        assert "clip_denoised" not in tr.sampler_kwargs
+
+    def test_composes_with_fast_sampler(self):
+        from srewd_tpu.cli import build_trainer
+
+        tr = build_trainer(
+            self._opt({"sampler": "dpm", "ddim_steps": 25,
+                       "clip_denoised": False}), _batch(0))
+        assert tr.sampler_kwargs["sampler"] == "dpm"
+        assert tr.sampler_kwargs["ddim_steps"] == 25
+        assert tr.sampler_kwargs["clip_denoised"] is False
+        # the jitted val sampler accepts the combination
+        sr = tr.sample_batch(_batch(1))
+        assert sr.shape == (B, H, W, 1)
+
+
 class TestFinetuneNorm:
     """finetune_norm (reference model.py:31-44, :208-209): only norm-affine
     params train; checkpoint load is non-strict."""
