@@ -190,6 +190,23 @@ class SamplerService:
         """Synchronous convenience wrapper around submit()."""
         return self.submit(lr_kelvin, months).result()
 
+    def update_params(self, params: dict) -> None:
+        """Hot-swap the served weights with zero downtime.
+
+        The compiled program is shape-polymorphic in nothing — same tree
+        structure/dtypes means no retrace; in-flight batches finish on the
+        old weights, batches dispatched after the swap use the new ones
+        (the dispatcher reads self.params per device call; the assignment
+        is atomic under the GIL)."""
+        import jax as _jax
+
+        old = _jax.tree.structure(self.params)
+        new = _jax.tree.structure(params)
+        if old != new:
+            raise ValueError(
+                f"param tree mismatch: served {old} vs update {new}")
+        self.params = params
+
     def stats(self) -> dict:
         with self._lock:
             out = dict(self._stats)

@@ -95,6 +95,25 @@ class TestBatching:
         for i, row in enumerate(rows):
             np.testing.assert_allclose(row[0], expected[i], atol=1e-5)
 
+    def test_hot_swap_params(self, stack):
+        model, params, sched = stack
+        params2 = model.init(jax.random.key(42), {
+            "HR": np.zeros((4, H, W, 1), np.float32),
+            "LR": np.zeros((4, LH, LW, 1), np.float32),
+        })
+        lr = _lr(4, seed=9)
+        with SamplerService(*stack, batch_size=4, mesh=make_mesh(1)) as svc:
+            first = svc.super_resolve(lr, np.ones(4, np.int32))
+            svc.update_params(params2)
+            second = svc.super_resolve(lr, np.ones(4, np.int32))
+            # structure mismatch is rejected before it can poison the queue
+            with pytest.raises(ValueError, match="tree mismatch"):
+                svc.update_params({"wrong_key": params2["unet"]})
+        np.testing.assert_allclose(first, _direct(stack, lr, 0), atol=1e-5)
+        np.testing.assert_allclose(
+            second, _direct((model, params2, sched), lr, 1), atol=1e-5)
+        assert not np.allclose(first, second)
+
     def test_closed_service_rejects(self, stack):
         svc = SamplerService(*stack, batch_size=2, mesh=make_mesh(1))
         svc.close()
