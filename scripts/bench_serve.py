@@ -116,7 +116,7 @@ def main():
     tag = (f"{args.steps}-step {args.sampler.upper()}(T={args.t})"
            if args.sampler in ("ddim", "dpm") else f"{args.t}-step DDPM")
     print(json.dumps({
-        "metric": f"served SR fields/sec/chip ({tag}, 128x256, sr3, "
+        "metric": f"served SR fields/sec/chip ({tag}, {hh}x{hw}, sr3, "
                   f"{args.requests} mixed-size requests)",
         "value": round(total_fields / dt_pipe, 4),
         "unit": "fields/sec/chip",
