@@ -288,6 +288,11 @@ class SamplerService:
                 self._fail_slots(slots, e)
                 continue
             for row, (pending, i, _, _) in zip(sr, slots):
+                if pending.future.done():
+                    # an earlier device batch of this request failed (or the
+                    # caller cancelled) — don't set_result on a done future,
+                    # that would raise InvalidStateError and kill this thread
+                    continue
                 if pending.buffer is None:
                     # allocate lazily now that the SR field shape is known
                     pending.buffer = np.empty(
@@ -299,7 +304,8 @@ class SamplerService:
                     with self._lock:
                         self._latencies.append(time.monotonic() - pending.t_submit)
                         del self._latencies[:-512]  # bound memory
-                    pending.future.set_result(pending.buffer)
+                    if not pending.future.done():
+                        pending.future.set_result(pending.buffer)
 
     def _fail_slots(self, slots, exc: Exception) -> None:
         seen = set()

@@ -138,6 +138,27 @@ class TestKelvinBoundary:
         expected = sc_hr.inverse(_direct(stack, norm, 0), months)
         np.testing.assert_allclose(sr, expected, atol=1e-4)
 
+    def test_partial_failure_of_split_request_keeps_resolver_alive(self, stack):
+        """A request spanning two device batches whose FIRST batch fails:
+        the future carries the error, the second batch's resolution must
+        not kill the resolver (set_result on a done future), and the
+        service keeps serving."""
+        calls = {"n": 0}
+
+        def bad_inverse(x, m):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise ValueError("first batch explodes")
+            return x
+
+        with SamplerService(*stack, batch_size=2, mesh=make_mesh(1),
+                            inverse_hr=bad_inverse) as svc:
+            fut = svc.submit(_lr(4, seed=11), np.ones(4, np.int32))
+            with pytest.raises(ValueError, match="first batch explodes"):
+                fut.result(timeout=120)
+            sr = svc.submit(_lr(2, seed=12), np.ones(2, np.int32)).result(timeout=120)
+        assert sr.shape == (2, H, W, 1)
+
     def test_error_propagates_and_service_survives(self, stack):
         calls = {"n": 0}
 
