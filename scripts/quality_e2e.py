@@ -15,7 +15,11 @@ INTERPOLATED product).
 The same trained checkpoint is scored under all three samplers
 (ddpm-1000 = reference semantics, ddim-50, dpm-25) — the fast-sampler
 quality claim demonstrated on an actually-trained model, not just the
-analytic-oracle test in tests/test_diffusion.py.
+analytic-oracle test in tests/test_diffusion.py. Each sampler is scored
+three ways: the reference's always-on x0 clamp to [-1,1] (diffusion.py:
+168-169 — saturates standard-scaled weather fields beyond ±1 sigma),
+`clip_denoised=false` (the config extension), and noclip with the EMA
+weights (`-noclip-ema`; EMA window set by --ema-decay/--ema-start).
 
     python scripts/quality_e2e.py [--iters 3000] [--out QUALITY_r03.json]
 """
@@ -54,6 +58,11 @@ def main():
     ap.add_argument("--reuse-params", default=None,
                     help="skip training; load params from this .pkl "
                          "(written by a previous run as <workdir>/params.pkl)")
+    ap.add_argument("--ema-decay", type=float, default=0.999,
+                    help="EMA decay for the -ema eval rows (the config's "
+                         "0.9999/start-5000 barely moves in a short run)")
+    ap.add_argument("--ema-start", type=int, default=None,
+                    help="EMA start step (default iters//2)")
     ap.add_argument("--out", default="QUALITY_r03.json")
     args = ap.parse_args()
     hr_shape = tuple(args.hr_shape)
@@ -101,6 +110,13 @@ def main():
         val_max_date="2017-01-31-23",
     )
     opt["model"]["beta_schedule"]["val"]["n_timestep"] = args.tval
+    opt["train"]["ema_scheduler"] = {
+        "enabled": True,
+        "step_start_ema": args.ema_start if args.ema_start is not None
+        else args.iters // 2,
+        "update_ema_every": 1,
+        "ema_decay": args.ema_decay,
+    }
     opt["model"]["diffusion"]["image_height"] = hr_shape[0]
     opt["model"]["diffusion"]["image_width"] = hr_shape[1]
     opt["data"]["height"] = hr_shape[0]
@@ -122,7 +138,13 @@ def main():
 
         with open(args.reuse_params, "rb") as f:
             loaded = pickle.load(f)
-        trainer.params = jax.device_put(loaded, jax.devices()[0])
+        if isinstance(loaded, dict) and "params" in loaded:
+            trainer.params = jax.device_put(loaded["params"], jax.devices()[0])
+            if loaded.get("ema_params") is not None:
+                trainer.ema_params = jax.device_put(
+                    loaded["ema_params"], jax.devices()[0])
+        else:  # pre-EMA pickle format: the raw param tree
+            trainer.params = jax.device_put(loaded, jax.devices()[0])
         print(f"[train] skipped — reusing {args.reuse_params}", flush=True)
     else:
         step, epoch = 0, 0
@@ -147,7 +169,11 @@ def main():
         import jax
 
         with open(work / "params.pkl", "wb") as f:
-            pickle.dump(jax.tree.map(np.asarray, trainer.params), f)
+            pickle.dump({
+                "params": jax.tree.map(np.asarray, trainer.params),
+                "ema_params": None if trainer.ema_params is None
+                else jax.tree.map(np.asarray, trainer.ema_params),
+            }, f)
         print(f"[train] params saved -> {work / 'params.pkl'}", flush=True)
     train_wall = time.time() - t0
 
@@ -158,13 +184,16 @@ def main():
                 break
             yield i, batch
 
-    def eval_sampler(label: str, sampler_kwargs: dict) -> dict:
-        trainer.sampler_kwargs = dict(sampler_kwargs)
-        trainer._build_steps()  # rebuild _sample_val with the new sampler
+    def eval_sampler(label: str, sampler_kwargs: dict,
+                     use_ema: bool = False) -> dict:
+        if trainer.sampler_kwargs != dict(sampler_kwargs):
+            trainer.sampler_kwargs = dict(sampler_kwargs)
+            trainer._build_steps()  # rebuild _sample_val with the new sampler
+            # (the -ema variant reuses the previous compile: same kwargs)
         vm = ValidationMetrics(create_metric_dict())
         te = time.time()
         for i, batch in val_batches():
-            sr = trainer.sample_batch(batch, fold=i + 1)
+            sr = trainer.sample_batch(batch, fold=i + 1, use_ema=use_ema)
             inv = dh.inverse_transform(
                 {"SR": np.asarray(sr), "HR": np.asarray(batch["HR"])},
                 batch["months"],
@@ -199,6 +228,10 @@ def main():
         rows[label] = eval_sampler(label, kw)
         rows[label + "-noclip"] = eval_sampler(
             label + "-noclip", {**kw, "clip_denoised": False})
+        if trainer.ema_params is not None:
+            rows[label + "-noclip-ema"] = eval_sampler(
+                label + "-noclip-ema", {**kw, "clip_denoised": False},
+                use_ema=True)
 
     out = {
         "arch": args.arch,
