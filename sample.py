@@ -56,6 +56,11 @@ def main():
                              "dpm = DPM-Solver++(2M), --ddim-steps is its step count)")
     parser.add_argument("--ddim-steps", type=int, default=50)
     parser.add_argument("--ddim-eta", type=float, default=0.0)
+    parser.add_argument("--no-clip-denoised", action="store_true",
+                        help="disable the reference's x0 clamp to [-1,1] "
+                             "(model.diffusion.clip_denoised=false): the clamp "
+                             "saturates standard-scaled weather fields beyond "
+                             "+-1 sigma (quality_e2e measures the cost)")
     args = parser.parse_args()
 
     if args.platform:
@@ -114,6 +119,8 @@ def main():
         opt["model"].setdefault("diffusion", {}).update(
             sampler=args.sampler, ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta
         )
+    if args.no_clip_denoised:
+        opt["model"].setdefault("diffusion", {})["clip_denoised"] = False
 
     if args.date_range:
         return _bulk_sample(args, opt, dh, logger)

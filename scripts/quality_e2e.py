@@ -63,6 +63,8 @@ def main():
                          "0.9999/start-5000 barely moves in a short run)")
     ap.add_argument("--ema-start", type=int, default=None,
                     help="EMA start step (default iters//2)")
+    ap.add_argument("--variants", default="clip,noclip,ema",
+                    help="comma subset of clip,noclip,ema eval rows")
     ap.add_argument("--out", default="QUALITY_r03.json")
     args = ap.parse_args()
     hr_shape = tuple(args.hr_shape)
@@ -223,12 +225,15 @@ def main():
     # two variants per sampler: the reference's always-on x0 clamp to [-1,1]
     # (diffusion.py:168-169 — saturates sigma-scaled fields beyond +-1 sigma)
     # vs the config extension model.diffusion.clip_denoised=false
+    variants = set(args.variants.split(","))
     rows = {}
     for label, kw in samplers.items():
-        rows[label] = eval_sampler(label, kw)
-        rows[label + "-noclip"] = eval_sampler(
-            label + "-noclip", {**kw, "clip_denoised": False})
-        if trainer.ema_params is not None:
+        if "clip" in variants:
+            rows[label] = eval_sampler(label, kw)
+        if "noclip" in variants:
+            rows[label + "-noclip"] = eval_sampler(
+                label + "-noclip", {**kw, "clip_denoised": False})
+        if "ema" in variants and trainer.ema_params is not None:
             rows[label + "-noclip-ema"] = eval_sampler(
                 label + "-noclip-ema", {**kw, "clip_denoised": False},
                 use_ema=True)

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--use-ema", action="store_true")
     ap.add_argument("--sampler", choices=["ddpm", "ddim", "dpm"], default=None)
     ap.add_argument("--ddim-steps", type=int, default=50)
+    ap.add_argument("--no-clip-denoised", action="store_true",
+                    help="disable the reference's x0 clamp to [-1,1] "
+                         "(saturates standard-scaled fields beyond +-1 sigma)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -48,14 +51,15 @@ def main():
     from srewd_tpu.serving import SamplerService
     from srewd_tpu.serving.http import make_server
 
-    kw = {}
+    overrides = {}
     if args.sampler:
-        kw["sampler_kwargs"] = {"sampler": args.sampler,
-                                "ddim_steps": args.ddim_steps}
+        overrides.update(sampler=args.sampler, ddim_steps=args.ddim_steps)
+    if args.no_clip_denoised:
+        overrides["clip_denoised"] = False
     service = SamplerService.from_checkpoint(
         args.config, args.model_path, use_ema=args.use_ema,
         batch_size=args.batch_size, linger_ms=args.linger_ms, seed=args.seed,
-        **kw,
+        diffusion_overrides=overrides or None,
     )
     server = make_server(service, host=args.host, port=args.port)
     print(f"serving on http://{args.host}:{server.server_address[1]} "

@@ -130,11 +130,15 @@ class SamplerService:
 
     @classmethod
     def from_checkpoint(cls, config_path: str, model_path: Optional[str] = None,
-                        use_ema: bool = False, **kw):
+                        use_ema: bool = False,
+                        diffusion_overrides: Optional[dict] = None, **kw):
         """Build the full stack (config -> data scalers -> weights) and serve.
 
         Mirrors sample.py's setup path: the config's dataroot fits the
         scalers; `model_path` (or path.resume_state) supplies the weights.
+        `diffusion_overrides` merges into model.diffusion BEFORE the trainer
+        is built (sampler / ddim_steps / clip_denoised CLI flags), so they
+        compose with config-set knobs instead of replacing them.
         """
         from ..cli import build_data_handler, build_trainer
         from ..configs.config import Config
@@ -143,6 +147,8 @@ class SamplerService:
         opt = cfg.get_opt()
         if model_path:
             opt["path"]["resume_state"] = model_path
+        if diffusion_overrides:
+            opt["model"].setdefault("diffusion", {}).update(diffusion_overrides)
         dh = build_data_handler(opt)
         example = next(iter(dh.val_batches()))
         trainer = build_trainer(opt, example)
