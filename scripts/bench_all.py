@@ -33,9 +33,9 @@ def main():
     results = []
     for cfg in RUNS:
         env = dict(os.environ, **cfg)
+        sampler = cfg.get("BENCH_SAMPLER")
         tag = cfg.get("BENCH_ARCH", "sr3") + (
-            "-ddim" + cfg.get("BENCH_DDIM_STEPS", "")
-            if cfg.get("BENCH_SAMPLER") == "ddim" else ""
+            f"-{sampler}{cfg.get('BENCH_DDIM_STEPS', '')}" if sampler else ""
         )
         print(f"[bench_all] {tag} ...", file=sys.stderr, flush=True)
         t0 = time.perf_counter()

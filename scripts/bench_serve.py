@@ -103,7 +103,7 @@ def main():
     svc.close()
 
     # serialized contrast: same device-batch count, blocking fetch per batch
-    n_batches = stats["device_batches"] - 1  # minus warmup
+    n_batches = max(stats["device_batches"] - 1, 1)  # minus warmup
     fn = jax.jit(lambda p, x, k: model.generate_sr(p, {"LR": x}, k, schedule, **skw))
     full = jnp.asarray(rng.standard_normal((args.batch, lh, lw, 1)), jnp.float32)
     float(jnp.sum(fn(params, full, jax.random.key(9)).astype(jnp.float32)))  # warm

@@ -65,6 +65,9 @@ def main():
                     help="EMA start step (default iters//2)")
     ap.add_argument("--variants", default="clip,noclip,ema",
                     help="comma subset of clip,noclip,ema eval rows")
+    ap.add_argument("--inner-channel", type=int, default=None,
+                    help="shrink the UNet trunk (CPU smoke runs)")
+    ap.add_argument("--res-blocks", type=int, default=None)
     ap.add_argument("--out", default="QUALITY_r03.json")
     args = ap.parse_args()
     hr_shape = tuple(args.hr_shape)
@@ -102,6 +105,10 @@ def main():
     )
     opt["model"]["architecture"] = args.arch
     opt["model"]["unet"]["dropout"] = 0.0
+    if args.inner_channel:
+        opt["model"]["unet"]["inner_channel"] = args.inner_channel
+    if args.res_blocks:
+        opt["model"]["unet"]["res_blocks"] = args.res_blocks
     opt["data"].update(
         dataroot=dataroot,
         batch_size=args.batch,
@@ -145,8 +152,11 @@ def main():
             if loaded.get("ema_params") is not None:
                 trainer.ema_params = jax.device_put(
                     loaded["ema_params"], jax.devices()[0])
+            else:
+                trainer.ema_params = None  # don't score the EMA of the init
         else:  # pre-EMA pickle format: the raw param tree
             trainer.params = jax.device_put(loaded, jax.devices()[0])
+            trainer.ema_params = None
         print(f"[train] skipped — reusing {args.reuse_params}", flush=True)
     else:
         step, epoch = 0, 0

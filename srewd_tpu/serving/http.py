@@ -71,6 +71,10 @@ def make_server(service, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTT
                 return self._json(400, {"error": f"bad request: {e}"})
             try:
                 sr = service.super_resolve(lr, months)
+            except ValueError as e:
+                # submit()'s input validation (bad lr rank, months length or
+                # field-shape mismatch) is the CLIENT's fault, not a 5xx
+                return self._json(400, {"error": f"bad request: {e}"})
             except Exception as e:
                 return self._json(500, {"error": str(e)})
             self._json(200, {"sr_b64": _b64_encode(sr)} if b64 else {"sr": sr.tolist()})

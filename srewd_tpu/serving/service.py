@@ -87,6 +87,7 @@ class SamplerService:
 
         self._lock = threading.Condition()
         self._slots: list = []  # [(pending, offset, lr_row, month)], FIFO
+        self._lr_shape = None  # [lh, lw, C], locked at first submit
         self._closing = False
         self._batch_seq = 0
         self._stats = {
@@ -110,16 +111,24 @@ class SamplerService:
     # ------------------------------------------------------------ factories
     @classmethod
     def from_trainer(cls, trainer, data_handler=None, use_ema: bool = False, **kw):
-        """Serve a live/trained DiffusionTrainer's weights.
+        """Serve a SNAPSHOT of a live/trained DiffusionTrainer's weights.
+
+        The param tree is copied: the trainer's jitted train/EMA steps donate
+        their param buffers (trainer.py donate_argnums), so serving the live
+        references would raise 'Array has been deleted' on the first train
+        step after construction. Push fresh weights with update_params().
 
         data_handler supplies the train-time scalers (Kelvin boundary);
         without it the service runs in normalized space.
         """
+        import jax.numpy as jnp
+
         params = (
             trainer.ema_params
             if (use_ema and trainer.ema_params is not None)
             else trainer.params
         )
+        params = jax.tree.map(jnp.copy, params)
         if data_handler is not None:
             sc = data_handler.batch_scalers
             kw.setdefault("transform_lr", sc["lr"].transform)
@@ -175,16 +184,26 @@ class SamplerService:
         """Queue [n, lh, lw, C] LR fields; future resolves to [n, hh, hw, C] SR."""
         lr = np.asarray(lr_kelvin, np.float32)
         months = np.asarray(months, np.int32).reshape(-1)
-        if lr.ndim != 4 or lr.shape[0] != months.shape[0]:
+        if lr.ndim != 4 or lr.shape[0] != months.shape[0] or lr.shape[0] == 0:
             raise ValueError(
-                f"expected lr [n,lh,lw,C] with matching months[n], got "
-                f"{lr.shape} / {months.shape}"
+                f"expected non-empty lr [n,lh,lw,C] with matching months[n], "
+                f"got {lr.shape} / {months.shape}"
             )
         lr = np.asarray(self._transform_lr(lr, months), np.float32)
         pending = _Pending(lr.shape[0])
         with self._lock:
             if self._closing:
                 raise RuntimeError("service is closed")
+            # one compiled shape per service: a mismatched field would either
+            # retrace (violating the fixed-shape design) or kill the
+            # dispatcher's np.stack — reject it at the boundary instead
+            if self._lr_shape is None:
+                self._lr_shape = lr.shape[1:]
+            elif lr.shape[1:] != self._lr_shape:
+                raise ValueError(
+                    f"LR field shape {lr.shape[1:]} does not match the "
+                    f"service's compiled shape {self._lr_shape}"
+                )
             for i in range(lr.shape[0]):
                 self._slots.append((pending, i, lr[i], months[i]))
             self._stats["requests"] += 1
@@ -200,10 +219,10 @@ class SamplerService:
         """Hot-swap the served weights with zero downtime.
 
         The compiled program is shape-polymorphic in nothing — same tree
-        structure/dtypes means no retrace; in-flight batches finish on the
-        old weights, batches dispatched after the swap use the new ones
-        (the dispatcher reads self.params per device call; the assignment
-        is atomic under the GIL)."""
+        structure, leaf shapes and dtypes means no retrace; in-flight
+        batches finish on the old weights, batches dispatched after the
+        swap use the new ones (the dispatcher reads self.params per device
+        call; the assignment is atomic under the GIL)."""
         import jax as _jax
 
         old = _jax.tree.structure(self.params)
@@ -211,6 +230,17 @@ class SamplerService:
         if old != new:
             raise ValueError(
                 f"param tree mismatch: served {old} vs update {new}")
+        for po, pn in zip(_jax.tree.leaves(self.params),
+                          _jax.tree.leaves(params)):
+            so = getattr(po, "shape", ())
+            sn = getattr(pn, "shape", ())
+            do = getattr(po, "dtype", None)
+            dn = getattr(pn, "dtype", None)
+            if so != sn or do != dn:
+                raise ValueError(
+                    f"param leaf mismatch: served {so}/{do} vs update "
+                    f"{sn}/{dn} — a swap must not retrace the compiled "
+                    f"program")
         self.params = params
 
     def stats(self) -> dict:
@@ -266,7 +296,11 @@ class SamplerService:
                 break
             n = len(slots)
             pad = self.batch_size - n
-            lr = np.stack([s[2] for s in slots] + [slots[0][2]] * pad)
+            try:
+                lr = np.stack([s[2] for s in slots] + [slots[0][2]] * pad)
+            except Exception as e:  # pragma: no cover - submit() pre-validates
+                self._fail_slots(slots, e)
+                continue
             months = np.asarray([s[3] for s in slots], np.int32)
             with self._lock:
                 seq = self._batch_seq

@@ -120,6 +120,37 @@ class TestBatching:
         with pytest.raises(RuntimeError, match="closed"):
             svc.submit(_lr(1), np.ones(1, np.int32))
 
+    def test_mismatched_field_shape_rejected(self, stack):
+        """A second request with a different LR grid must be rejected at
+        submit() — coalesced into one batch it would kill the dispatcher's
+        np.stack and brick the service (code-review r3 finding)."""
+        with SamplerService(*stack, batch_size=4, mesh=make_mesh(1)) as svc:
+            svc.super_resolve(_lr(2), np.ones(2, np.int32))
+            bad = np.zeros((1, LH * 2, LW, 1), np.float32)
+            with pytest.raises(ValueError, match="compiled shape"):
+                svc.submit(bad, np.ones(1, np.int32))
+            # service still serves after the rejection
+            sr = svc.super_resolve(_lr(2, seed=5), np.ones(2, np.int32))
+        assert sr.shape == (2, H, W, 1)
+
+    def test_empty_request_rejected(self, stack):
+        """n=0 enqueues no slots, so its future could never resolve."""
+        with SamplerService(*stack, batch_size=2, mesh=make_mesh(1)) as svc:
+            with pytest.raises(ValueError, match="non-empty"):
+                svc.submit(np.zeros((0, LH, LW, 1), np.float32),
+                           np.zeros(0, np.int32))
+
+    def test_update_params_rejects_leaf_mismatch(self, stack):
+        model, params, sched = stack
+        import jax as _jax
+
+        wider = _jax.tree.map(
+            lambda x: np.concatenate([np.asarray(x)] * 2, axis=-1)
+            if getattr(x, "ndim", 0) else x, params)
+        with SamplerService(*stack, batch_size=2, mesh=make_mesh(1)) as svc:
+            with pytest.raises(ValueError, match="leaf mismatch"):
+                svc.update_params(wider)
+
 
 class TestKelvinBoundary:
     def test_scalers_applied_both_ways(self, stack):
@@ -223,6 +254,17 @@ class TestHTTP:
         url, _ = server
         req = urllib.request.Request(
             url + "/v1/super_resolve", data=b'{"months": [1]}')
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+
+    def test_submit_validation_error_is_400_not_500(self, server):
+        """Client-shape errors surface as 4xx (monitoring treats 5xx as
+        server faults): lr of rank 2 parses as JSON but fails submit()."""
+        url, _ = server
+        req = urllib.request.Request(
+            url + "/v1/super_resolve",
+            data=json.dumps({"lr": [[1.0]], "months": [1]}).encode())
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req)
         assert ei.value.code == 400
