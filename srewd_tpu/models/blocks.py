@@ -24,6 +24,8 @@ Numerics parity notes:
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+import contextvars as _contextvars
 import math
 from typing import Any, Callable, Optional
 
@@ -102,7 +104,16 @@ class FeatureWiseAffine(nn.Module):
         h = h[:, None, None, :]
         if self.use_affine_level:
             gamma, beta = jnp.split(h, 2, axis=-1)
+            if paired_active():
+                from ..ops.paired import tile_channel_vector
+
+                gamma = tile_channel_vector(gamma)
+                beta = tile_channel_vector(beta)
             return (1.0 + gamma) * x + beta
+        if paired_active():
+            from ..ops.paired import tile_channel_vector
+
+            h = tile_channel_vector(h)
         return x + h
 
 
@@ -121,13 +132,20 @@ class FusedGroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = x.shape[-1]
+        paired = paired_active()
+        c = x.shape[-1] // 2 if paired else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         if self.dtype is not None:
             x = x.astype(self.dtype)
             scale = scale.astype(self.dtype)
             bias = bias.astype(self.dtype)
+        if paired:
+            from ..ops.paired import paired_gn_swish
+
+            return paired_gn_swish(
+                x, scale, bias, self.num_groups, self.epsilon, self.with_swish
+            )
         return fused_groupnorm_swish(
             x, scale, bias, self.num_groups, self.epsilon, self.with_swish
         )
@@ -146,9 +164,50 @@ def _s2d_mode() -> str:
     return _os.environ.get("SREWD_S2D_CONV", "0")
 
 
+# Paired-level execution (ops/paired.py): the whole full-resolution UNet
+# level runs in the W-paired [B,H,W/2,2C] layout — the per-conv s2d lesson
+# above, completed: relayouts happen ONLY at level entry/exit, every op in
+# between is paired-native. Gated per trace by `paired_region` (set in
+# models/unet.py around the full-res segments). SREWD_PAIRED_LEVEL:
+# "1" routes on TPU, "force" on any platform (CPU tests), "0" off.
+def _paired_mode() -> str:
+    return _os.environ.get("SREWD_PAIRED_LEVEL", "0")
+
+
+def paired_level_enabled() -> bool:
+    """Trace-time gate consulted by models/unet.py."""
+    import jax as _jax
+
+    mode = _paired_mode()
+    if mode == "force":
+        return True
+    return mode == "1" and _jax.devices()[0].platform == "tpu"
+
+
+_PAIRED_REGION = _contextvars.ContextVar("srewd_paired_region", default=False)
+
+
+@_contextlib.contextmanager
+def paired_region(active: bool = True):
+    """While active, Conv/FusedGroupNorm/FeatureWiseAffine/ResnetBlock treat
+    their inputs as W-paired [B,H,W/2,2C] tensors (ops/paired.py). Param
+    shapes and the checkpoint tree are IDENTICAL either way."""
+    token = _PAIRED_REGION.set(active)
+    try:
+        yield
+    finally:
+        _PAIRED_REGION.reset(token)
+
+
+def paired_active() -> bool:
+    return _PAIRED_REGION.get()
+
+
 class Conv(nn.Conv):
     """nn.Conv that routes MXU-underfilling 3x3 SAME convs through the
-    exact W-paired space-to-depth rewrite on TPU (ops/s2d_conv.py).
+    exact W-paired space-to-depth rewrite on TPU (ops/s2d_conv.py), and —
+    inside a `paired_region` — treats its input as an already-paired
+    [B,H,W/2,2C] tensor (ops/paired.py; 3x3 stride-1 SAME and 1x1 only).
 
     Subclasses nn.Conv under the same class NAME so flax auto-naming — and
     therefore every checkpoint and the torch weight converter — sees the
@@ -159,6 +218,37 @@ class Conv(nn.Conv):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from ..ops.s2d_conv import conv3x3_s2d, s2d_profitable
+
+        if paired_active():
+            from ..ops.paired import conv1x1_paired, conv3x3_paired
+
+            ks = tuple(self.kernel_size)
+            is3 = (
+                ks == (3, 3)
+                and self.strides in (None, 1, (1, 1))
+                and self.padding in (1, "SAME", ((1, 1), (1, 1)))
+            )
+            is1 = ks == (1, 1) and self.strides in (None, 1, (1, 1))
+            if not (is3 or is1) or self.feature_group_count != 1 or x.ndim != 4:
+                raise ValueError(
+                    f"paired_region: unsupported conv {ks} stride={self.strides}"
+                )
+            c_in = x.shape[-1] // 2  # unpaired input channels
+            kernel = self.param(
+                "kernel", self.kernel_init, (*ks, c_in, self.features),
+                self.param_dtype,
+            )
+            bias = (
+                self.param(
+                    "bias", self.bias_init, (self.features,), self.param_dtype
+                )
+                if self.use_bias else None
+            )
+            x, kernel, bias = nn.dtypes.promote_dtype(
+                x, kernel, bias, dtype=self.dtype
+            )
+            fn = conv3x3_paired if is3 else conv1x1_paired
+            return fn(x, kernel, bias)
 
         mode = _s2d_mode()
         eligible = (
@@ -230,8 +320,11 @@ class ResnetBlock(nn.Module):
         h = Block(self.dim_out, groups=self.norm_groups, dropout=self.dropout, dtype=self.dtype)(
             h, train=train
         )
-        if x.shape[-1] != self.dim_out:
-            x = nn.Conv(
+        in_ch = x.shape[-1] // 2 if paired_active() else x.shape[-1]
+        if in_ch != self.dim_out:
+            # Conv (the subclass) keeps the auto-name `Conv_0` and routes the
+            # 1x1 shortcut paired-natively inside a paired_region
+            x = Conv(
                 self.dim_out, (1, 1), kernel_init=default_kernel_init, dtype=self.dtype
             )(x)
         return h + x

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.finite_diff import fd_stencils
+from ..ops.paired import pair, paired_concat, unpair
 from ..ops.wavelets import haar_dwt_pyramid
 from .blocks import (
     Block,
@@ -55,6 +56,8 @@ from .blocks import (
     Upsample,
     default_kernel_init,
     mish,
+    paired_level_enabled,
+    paired_region,
     swish,
 )
 from .fd_info_spliter import FDInfoSpliter
@@ -156,29 +159,50 @@ class WeatherUNet(nn.Module):
         num_mults = len(self.channel_mults)
         now_res = self.image_height
 
+        # Paired-level execution (ops/paired.py, DESIGN §1): the whole
+        # full-resolution level (ind == 0, both down and up passes plus the
+        # stem and final convs) runs in the W-paired [B,H,W/2,2C] layout so
+        # its MXU-underfilling C=inner convs execute with full 128-lane
+        # tiles; the only relayouts are one pair() at each region entry and
+        # one unpair() at each exit. Inapplicable when the full-res level
+        # carries self-attention (token count would change) or W is odd.
+        paired_on = (
+            paired_level_enabled()
+            and num_mults >= 2
+            and self.image_width % 2 == 0
+            and self.image_height not in tuple(self.attn_res)
+        )
+
         # ---- down path (bookkeeping mirrors sr3/unet.py:60-75) ----
         feats: list[jnp.ndarray] = []
         feat_channels: list[int] = [self.inner_channel]
-        x = Conv(
-            self.inner_channel, (3, 3), padding=1, kernel_init=default_kernel_init,
-            dtype=self.dtype,
-        )(x)
+        if paired_on:
+            x = pair(x)
+            if cond is not None:
+                cond = pair(cond)
+        with paired_region(paired_on):
+            x = Conv(
+                self.inner_channel, (3, 3), padding=1, kernel_init=default_kernel_init,
+                dtype=self.dtype,
+            )(x)
         feats.append(x)
         down_layer_idx = 1  # enumeration index over the reference's downs list
         ca_idx = 0
         pre_channel = self.inner_channel
         for ind in range(num_mults):
             is_last = ind == num_mults - 1
+            level_paired = paired_on and ind == 0
             use_attn = now_res in tuple(self.attn_res)
             channel_mult = self.inner_channel * self.channel_mults[ind]
             for _ in range(self.res_blocks):
-                x = ResnetBlockWithAttn(
-                    channel_mult,
-                    norm_groups=self.norm_groups,
-                    dropout=self.dropout,
-                    with_attn=use_attn,
-                    dtype=self.dtype,
-                )(x, t, train=train)
+                with paired_region(level_paired):
+                    x = ResnetBlockWithAttn(
+                        channel_mult,
+                        norm_groups=self.norm_groups,
+                        dropout=self.dropout,
+                        with_attn=use_attn,
+                        dtype=self.dtype,
+                    )(x, t, train=train)
                 # RRDB cond injection: reference hardcodes downs index i==2
                 # (srdiff/unet.py:126-127) = the 2nd full-res res block with
                 # its res_blocks=2 configs, but a bare Downsample index when
@@ -192,6 +216,8 @@ class WeatherUNet(nn.Module):
                 pre_channel = channel_mult
                 down_layer_idx += 1
             if not is_last:
+                if level_paired:
+                    x = unpair(x)
                 x = Downsample(dtype=self.dtype)(x)
                 if uses_ca and ca_idx < _J:
                     # skip tensor gets the HF-guided CA enhancement; the trunk
@@ -226,24 +252,37 @@ class WeatherUNet(nn.Module):
         # ---- up path (sr3/unet.py:83-97) ----
         for ind in reversed(range(num_mults)):
             is_last = ind < 1
+            level_paired = paired_on and ind == 0
             use_attn = now_res in tuple(self.attn_res)
             channel_mult = self.inner_channel * self.channel_mults[ind]
+            if level_paired:
+                # re-enter the paired region: the level's skips were saved
+                # paired by the down pass (LIFO order matches exactly)
+                x = pair(x)
             for _ in range(self.res_blocks + 1):
                 skip = feats.pop()
                 feat_channels.pop()
-                x = ResnetBlockWithAttn(
-                    channel_mult,
-                    norm_groups=self.norm_groups,
-                    dropout=self.dropout,
-                    with_attn=use_attn,
-                    dtype=self.dtype,
-                )(jnp.concatenate([x, skip], axis=-1), t, train=train)
+                cat = (
+                    paired_concat(x, skip) if level_paired
+                    else jnp.concatenate([x, skip], axis=-1)
+                )
+                with paired_region(level_paired):
+                    x = ResnetBlockWithAttn(
+                        channel_mult,
+                        norm_groups=self.norm_groups,
+                        dropout=self.dropout,
+                        with_attn=use_attn,
+                        dtype=self.dtype,
+                    )(cat, t, train=train)
                 pre_channel = channel_mult
             if not is_last:
                 x = Upsample(dtype=self.dtype)(x)
                 now_res *= 2
 
-        out = Block(self.out_channel, groups=self.norm_groups, dtype=self.dtype)(
-            x, train=train
-        )
+        with paired_region(paired_on):
+            out = Block(self.out_channel, groups=self.norm_groups, dtype=self.dtype)(
+                x, train=train
+            )
+        if paired_on:
+            out = unpair(out)
         return out
