@@ -131,7 +131,9 @@ class FusedGroupNorm(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, segments: Optional[tuple] = None
+    ) -> jnp.ndarray:
         paired = paired_active()
         c = x.shape[-1] // 2 if paired else x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
@@ -144,7 +146,8 @@ class FusedGroupNorm(nn.Module):
             from ..ops.paired import paired_gn_swish
 
             return paired_gn_swish(
-                x, scale, bias, self.num_groups, self.epsilon, self.with_swish
+                x, scale, bias, self.num_groups, self.epsilon,
+                self.with_swish, segments=segments,
             )
         return fused_groupnorm_swish(
             x, scale, bias, self.num_groups, self.epsilon, self.with_swish
@@ -216,7 +219,9 @@ class Conv(nn.Conv):
     """
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, segments: Optional[tuple] = None
+    ) -> jnp.ndarray:
         from ..ops.s2d_conv import conv3x3_s2d, s2d_profitable
 
         if paired_active():
@@ -248,7 +253,7 @@ class Conv(nn.Conv):
                 x, kernel, bias, dtype=self.dtype
             )
             fn = conv3x3_paired if is3 else conv1x1_paired
-            return fn(x, kernel, bias)
+            return fn(x, kernel, bias, segments=segments)
 
         mode = _s2d_mode()
         eligible = (
@@ -287,15 +292,21 @@ class Block(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, *, train: bool = False,
+        segments: Optional[tuple] = None,
+    ) -> jnp.ndarray:
+        # inside a paired_region, `segments` describes x as a plain concat
+        # of paired tensors; GN and the conv consume it weight-side, and
+        # the conv's output is phase-major again (segments do not propagate)
         h = FusedGroupNorm(
             num_groups=self.groups, with_swish=True, dtype=self.dtype
-        )(x)
+        )(x, segments=segments)
         if self.dropout > 0.0:
             h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
         h = Conv(
             self.dim_out, (3, 3), padding=1, kernel_init=default_kernel_init, dtype=self.dtype
-        )(h)
+        )(h, segments=segments)
         return h
 
 
@@ -312,8 +323,13 @@ class ResnetBlock(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, time_emb: jnp.ndarray, *, train: bool = False):
-        h = Block(self.dim_out, groups=self.norm_groups, dtype=self.dtype)(x, train=train)
+    def __call__(
+        self, x: jnp.ndarray, time_emb: jnp.ndarray, *, train: bool = False,
+        segments: Optional[tuple] = None,
+    ):
+        h = Block(self.dim_out, groups=self.norm_groups, dtype=self.dtype)(
+            x, train=train, segments=segments
+        )
         h = FeatureWiseAffine(self.dim_out, self.use_affine_level, dtype=self.dtype)(
             h, time_emb
         )
@@ -326,7 +342,7 @@ class ResnetBlock(nn.Module):
             # 1x1 shortcut paired-natively inside a paired_region
             x = Conv(
                 self.dim_out, (1, 1), kernel_init=default_kernel_init, dtype=self.dtype
-            )(x)
+            )(x, segments=segments)
         return h + x
 
 
@@ -551,13 +567,16 @@ class ResnetBlockWithAttn(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, time_emb: jnp.ndarray, *, train: bool = False):
+    def __call__(
+        self, x: jnp.ndarray, time_emb: jnp.ndarray, *, train: bool = False,
+        segments: Optional[tuple] = None,
+    ):
         x = ResnetBlock(
             self.dim_out,
             dropout=self.dropout,
             norm_groups=self.norm_groups,
             dtype=self.dtype,
-        )(x, time_emb, train=train)
+        )(x, time_emb, train=train, segments=segments)
         if self.with_attn:
             x = SelfAttention(norm_groups=self.norm_groups, dtype=self.dtype)(x)
         return x

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.finite_diff import fd_stencils
-from ..ops.paired import pair, paired_concat, unpair
+from ..ops.paired import pair, unpair
 from ..ops.wavelets import haar_dwt_pyramid
 from .blocks import (
     Block,
@@ -262,9 +262,16 @@ class WeatherUNet(nn.Module):
             for _ in range(self.res_blocks + 1):
                 skip = feats.pop()
                 feat_channels.pop()
-                cat = (
-                    paired_concat(x, skip) if level_paired
-                    else jnp.concatenate([x, skip], axis=-1)
+                # paired: the concat stays PLAIN ([x_e, x_o, skip_e,
+                # skip_o]); the consuming block gets `segments` and
+                # permutes its WEIGHTS to match — re-canonicalizing the
+                # activation to phase-major would slice at half-tile
+                # channel boundaries (measured relayouts,
+                # scripts/profile_paired_chain.py)
+                cat = jnp.concatenate([x, skip], axis=-1)
+                seg = (
+                    (x.shape[-1] // 2, skip.shape[-1] // 2)
+                    if level_paired else None
                 )
                 with paired_region(level_paired):
                     x = ResnetBlockWithAttn(
@@ -273,7 +280,7 @@ class WeatherUNet(nn.Module):
                         dropout=self.dropout,
                         with_attn=use_attn,
                         dtype=self.dtype,
-                    )(cat, t, train=train)
+                    )(cat, t, train=train, segments=seg)
                 pre_channel = channel_mult
             if not is_last:
                 x = Upsample(dtype=self.dtype)(x)

@@ -69,11 +69,37 @@ def paired_concat(*tensors: jnp.ndarray) -> jnp.ndarray:
 
     concat([a, b]) of paired tensors would yield [a_even, a_odd, b_even,
     b_odd]; downstream paired ops need [a_even, b_even, a_odd, b_odd].
-    The reorder rides the copy the concat performs anyway.
+
+    SUPERSEDED on the hot path: the channel slices land on half-tile (64
+    lane) boundaries, which TPU relayouts — measured 476 µs for
+    paired_concat+conv3x3 vs 409 µs for a plain concat consumed by a
+    SEGMENT-PERMUTED kernel (scripts/profile_paired_chain.py). The model
+    now concatenates plainly and passes `segments=` to the consuming ops,
+    which permute the WEIGHTS instead (pure [3,3,C,O]-sized data movement,
+    hoisted by XLA LICM). Kept for tests and as the layout-canonicalizing
+    fallback.
     """
     evens = [t[..., : t.shape[-1] // 2] for t in tensors]
     odds = [t[..., t.shape[-1] // 2:] for t in tensors]
     return jnp.concatenate(evens + odds, axis=-1)
+
+
+def _segment_perm(segments: tuple[int, ...]) -> list[int]:
+    """Phase-major kernel-row index for each SEGMENTED input row.
+
+    A segmented paired tensor is the plain channel-concat of paired
+    tensors: [s1_even, s1_odd, s2_even, s2_odd, ...]. Row r of the
+    segmented layout (segment k, phase p, local channel c) corresponds to
+    phase-major row p * C + (cum_k + c), C = sum(segments).
+    """
+    c_total = sum(segments)
+    perm: list[int] = []
+    cum = 0
+    for s in segments:
+        perm.extend(range(cum, cum + s))                      # phase 0
+        perm.extend(range(c_total + cum, c_total + cum + s))  # phase 1
+        cum += s
+    return perm
 
 
 def tile_channel_vector(v: jnp.ndarray) -> jnp.ndarray:
@@ -82,7 +108,8 @@ def tile_channel_vector(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def conv3x3_paired(
-    xp: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None
+    xp: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
+    segments: tuple[int, ...] | None = None,
 ) -> jnp.ndarray:
     """SAME 3x3 stride-1 conv on the PAIRED tensor with the ORIGINAL kernel.
 
@@ -90,8 +117,16 @@ def conv3x3_paired(
     [B, H, W/2, 2O]. The s2d kernel transform is pure data movement of the
     [3,3,C,O] weights — loop-invariant inside a sampling scan, hoisted by
     XLA LICM (measured in scripts/profile_s2d_chain.py).
+
+    `segments`: per-tensor original channel counts when xp is a PLAIN
+    channel-concat of paired tensors ([a_e, a_o, b_e, b_o, ...]): the
+    kernel's input rows are permuted to match, so the 33 MB activation is
+    never re-layouted (measured 409 vs 476 µs for the slice-based
+    re-canonicalization, scripts/profile_paired_chain.py).
     """
     kp = s2d_kernel(kernel)
+    if segments is not None and len(segments) > 1:
+        kp = jnp.take(kp, jnp.asarray(_segment_perm(tuple(segments))), axis=2)
     yp = jax.lax.conv_general_dilated(
         xp, kp, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -103,19 +138,36 @@ def conv3x3_paired(
 
 
 def conv1x1_paired(
-    xp: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None
+    xp: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
+    segments: tuple[int, ...] | None = None,
 ) -> jnp.ndarray:
-    """1x1 conv on the paired tensor — feature_group_count=2, exactly 1x MACs.
+    """1x1 conv on the paired tensor via a BLOCK-DIAGONAL dense kernel.
 
-    Group g (phase g) consumes input channels [gC, (g+1)C) and produces
-    output channels [gO, (g+1)O) with the SAME [1,1,C,O] kernel: output
-    stays phase-major paired.
+    Phase p's output channels read only phase p's input channels, so the
+    paired 1x1 is exactly expressible as feature_group_count=2 — but XLA's
+    grouped-conv lowering measured 355 µs vs 201 for the direct layout at
+    the shortcut site, while the equivalent dense [1,1,2C,2O] kernel with
+    structural zeros off the phase diagonal runs in 57 µs (2x the MACs of
+    a bandwidth-bound op; scripts/profile_paired_chain.py). The zero
+    blocks contribute exact +0.0 to the f32 accumulation.
+
+    Built from slice+pad+concat of the [1,1,C,O] weights (hoistable pure
+    data movement, no scatters). `segments` as in conv3x3_paired: input
+    rows ordered per-tensor when xp is a plain concat of paired tensors.
     """
-    kp = jnp.concatenate([kernel, kernel], axis=-1)  # [1,1,C,2O]
+    c, o = kernel.shape[2], kernel.shape[3]
+    segs = tuple(segments) if segments is not None else (c,)
+    rows = []
+    cum = 0
+    for s in segs:
+        blk = kernel[0, 0, cum:cum + s, :]                    # [s, O]
+        rows.append(jnp.pad(blk, ((0, 0), (0, o))))           # phase 0
+        rows.append(jnp.pad(blk, ((0, 0), (o, 0))))           # phase 1
+        cum += s
+    kbd = jnp.concatenate(rows, axis=0)[None, None]           # [1,1,2C,2O]
     yp = jax.lax.conv_general_dilated(
-        xp, kp, window_strides=(1, 1), padding="VALID",
+        xp, kbd, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=2,
         preferred_element_type=jnp.float32 if xp.dtype == jnp.float32 else None,
     ).astype(xp.dtype)
     if bias is not None:
@@ -130,6 +182,7 @@ def paired_gn_swish(
     num_groups: int,
     eps: float,
     apply_swish: bool,
+    segments: tuple[int, ...] | None = None,
 ) -> jnp.ndarray:
     """GroupNorm + affine (+Swish) on the paired tensor.
 
@@ -139,22 +192,46 @@ def paired_gn_swish(
     the unpaired GroupNorm statistics. Big-tensor traffic: two reductions
     and one FMA over xp, the same bytes as the unpaired path; the phase and
     group folds happen on [B, 2C] scalars.
+
+    `segments` as in conv3x3_paired: xp is a plain concat of paired
+    tensors. The phase fold and the affine-vector layout follow the
+    segment order; the big-tensor math is unchanged.
     """
     b, h, w2, c2 = xp.shape
     c = c2 // 2
     cg = c // num_groups
+    segs = tuple(segments) if segments is not None else (c,)
     x32 = xp.astype(jnp.float32)
     m1 = jnp.mean(x32, axis=(1, 2))               # [B, 2C]
     m2 = jnp.mean(jnp.square(x32), axis=(1, 2))   # [B, 2C]
-    m1 = 0.5 * (m1[:, :c] + m1[:, c:])
-    m2 = 0.5 * (m2[:, :c] + m2[:, c:])
+
+    def fold_phases(m):
+        # -> [B, C] in ORIGINAL channel order (segments are consecutive)
+        parts, off = [], 0
+        for s in segs:
+            parts.append(0.5 * (m[:, off:off + s] + m[:, off + s:off + 2 * s]))
+            off += 2 * s
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
+
+    m1 = fold_phases(m1)
+    m2 = fold_phases(m2)
     mean_g = m1.reshape(b, num_groups, cg).mean(-1)   # [B, G]
     var_g = m2.reshape(b, num_groups, cg).mean(-1) - jnp.square(mean_g)
     inv_g = jax.lax.rsqrt(var_g + eps)
     a = scale.astype(jnp.float32)[None, :] * jnp.repeat(inv_g, cg, axis=-1)
     off = bias.astype(jnp.float32)[None, :] - jnp.repeat(mean_g, cg, axis=-1) * a
-    a2 = tile_channel_vector(a)[:, None, None, :]
-    off2 = tile_channel_vector(off)[:, None, None, :]
+
+    def to_layout(v):
+        # per-original-channel [B, C] -> xp's segmented paired layout [B, 2C]
+        parts, cum = [], 0
+        for s in segs:
+            seg = v[:, cum:cum + s]
+            parts.extend([seg, seg])
+            cum += s
+        return jnp.concatenate(parts, -1)
+
+    a2 = to_layout(a)[:, None, None, :]
+    off2 = to_layout(off)[:, None, None, :]
     y = (x32 * a2 + off2).astype(xp.dtype)
     if apply_swish:
         y = y * jax.nn.sigmoid(y)

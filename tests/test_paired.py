@@ -118,6 +118,60 @@ def test_paired_gn_matches_pure(apply_swish):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+# ------------------------------------------------ segmented (plain-concat)
+# The hot path never re-canonicalizes a concat of paired tensors (the
+# channel slices land on half-tile boundaries -> TPU relayouts, measured in
+# scripts/profile_paired_chain.py); instead the consuming op permutes its
+# WEIGHTS via segments=. These pin the segmented ops against the
+# re-canonicalized reference with DISTINCT a/b tensors (a==b would hide a
+# segment-permutation bug).
+
+
+def _seg_inputs(seed=7, ca=6, cb=10):
+    rng = np.random.default_rng(seed)
+    a = jnp.asarray(rng.standard_normal((2, 6, 8, ca)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, 6, 8, cb)), jnp.float32)
+    plain = jnp.concatenate([pair(a), pair(b)], axis=-1)
+    canonical = paired_concat(pair(a), pair(b))
+    return plain, canonical, (ca, cb)
+
+
+def test_conv3x3_segmented_matches_canonical():
+    plain, canonical, segs = _seg_inputs()
+    rng = np.random.default_rng(8)
+    k = jnp.asarray(rng.standard_normal((3, 3, sum(segs), 5)), jnp.float32)
+    want = conv3x3_paired(canonical, k)
+    got = conv3x3_paired(plain, k, segments=segs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_conv1x1_segmented_matches_canonical():
+    plain, canonical, segs = _seg_inputs(seed=9)
+    rng = np.random.default_rng(10)
+    k = jnp.asarray(rng.standard_normal((1, 1, sum(segs), 5)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((5,)), jnp.float32)
+    want = conv1x1_paired(canonical, k, bias)
+    got = conv1x1_paired(plain, k, bias, segments=segs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("apply_swish", [False, True])
+def test_gn_segmented_matches_canonical(apply_swish):
+    plain, canonical, segs = _seg_inputs(seed=11)
+    c = sum(segs)
+    rng = np.random.default_rng(12)
+    scale = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    want = paired_gn_swish(canonical, scale, bias, 4, 1e-5, apply_swish)
+    got = paired_gn_swish(plain, scale, bias, 4, 1e-5, apply_swish,
+                          segments=segs)
+    # GN preserves its input layout: got is segmented, want phase-major
+    got_canonical = paired_concat(got[..., : 2 * segs[0]],
+                                  got[..., 2 * segs[0]:])
+    np.testing.assert_allclose(
+        np.asarray(got_canonical), np.asarray(want), atol=1e-5)
+
+
 # ------------------------------------------------------- model-level parity
 
 ARCHS = ["sr3", "resdiff", "phydiff", "srdiff", "physrdiff"]
