@@ -154,6 +154,29 @@ def main():
                 B * h0 * w0 * 9 * c0 * c0 * 2,
                 2 * B * h0 * w0 * c0 * itemsize + 9 * 4 * c0 * c0 * itemsize)
 
+    # paired-RESIDENT rows (ops/paired.py): the carry stays in the
+    # [B, H, W/2, 2C] layout across scan iterations — the steady state
+    # inside a paired_region, with NO per-call pair/unpair relayouts.
+    # FLOPs are the original conv's, so pct_mxu_peak compares directly.
+    from srewd_tpu.ops.paired import conv3x3_paired, paired_gn_swish
+
+    def paired_conv_op(c):
+        k = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, dtype)
+        return lambda y: conv3x3_paired(y, k).astype(y.dtype)
+
+    def paired_gn_op(c):
+        s = jnp.ones((c,), jnp.float32)
+        b0 = jnp.zeros((c,), jnp.float32)
+        return lambda y: paired_gn_swish(y, s, b0, 32, 1e-5, True).astype(y.dtype)
+
+    bench_shape("conv3x3 64->64 paired-res", h0, w0 // 2, 2 * c0,
+                lambda: paired_conv_op(c0),
+                B * h0 * w0 * 9 * c0 * c0 * 2,
+                2 * B * h0 * w0 * c0 * itemsize + 9 * 4 * c0 * c0 * itemsize)
+    bench_shape("GN+swish g32 paired-res", h0, w0 // 2, 2 * c0,
+                lambda: paired_gn_op(c0),
+                B * h0 * w0 * c0 * 10, 2 * B * h0 * w0 * c0 * itemsize)
+
     # bottleneck self-attention at level 3 (16x32 = 512 tokens, C=512)
     h, w, c = 16, 32, 512
     npx = h * w

@@ -173,8 +173,13 @@ def _s2d_mode() -> str:
 # between is paired-native. Gated per trace by `paired_region` (set in
 # models/unet.py around the full-res segments). SREWD_PAIRED_LEVEL:
 # "1" routes on TPU, "force" on any platform (CPU tests), "0" off.
+# DEFAULT ON: same-process on-chip A/Bs (PAIRED_AB_r03.json,
+# scripts/ab_paired.py) measured sr3 sampling 1.27 -> 1.47 fields/s
+# (1.16x) / train 1.10x, phydiff sampling 1.25x / train 1.08x; the path
+# is exact up to summation order (bit-pinned on CPU by
+# tests/test_paired.py, 500-step bf16 chain corr >= 0.9999996 on chip).
 def _paired_mode() -> str:
-    return _os.environ.get("SREWD_PAIRED_LEVEL", "0")
+    return _os.environ.get("SREWD_PAIRED_LEVEL", "1")
 
 
 def paired_level_enabled() -> bool:
