@@ -281,6 +281,65 @@ def test_paired_under_8dev_mesh_matches_direct(monkeypatch):
     assert bool(jnp.all(jnp.isfinite(sr)))
 
 
+def test_paired_under_tensor_parallel_matches_direct(monkeypatch):
+    """TP (column-parallel output channels over the 'model' axis) composes
+    with the paired level: the kernel transforms are pure gathers over the
+    ORIGINAL [3,3,C,O] params, so GSPMD must propagate the O-dim sharding
+    through them. Pins a (data=4, model=2) paired train step against the
+    same-mesh direct path, and that params stay genuinely sharded."""
+    import optax
+
+    from srewd_tpu.parallel.mesh import make_mesh
+    from srewd_tpu.training.trainer import DiffusionTrainer
+
+    def trainer():
+        sched = Schedule.create("linear", n_timestep=6)
+        unet = WeatherUNet(
+            variant="sr3", out_channel=1, inner_channel=8, norm_groups=4,
+            channel_mults=(1, 2), attn_res=(8,), res_blocks=1, dropout=0.0,
+            image_height=16, image_width=32, image_channels=1,
+        )
+        return DiffusionTrainer(
+            model=DiffusionModel(arch="sr3", unet=unet), schedule_train=sched,
+            schedule_val=sched, optimizer=optax.adam(1e-3),
+            mesh=make_mesh(8, model_parallel=2), model_shard_min_dim=8,
+            seed=0,
+        )
+
+    def batch(seed):
+        rng = np.random.default_rng(seed)
+        return {
+            "HR": rng.standard_normal((8, 16, 32, 1)).astype(np.float32),
+            "LR": rng.standard_normal((8, 4, 8, 1)).astype(np.float32),
+            "months": np.ones((8,), np.int32),
+        }
+
+    monkeypatch.setenv("SREWD_PAIRED_LEVEL", "0")
+    ta = trainer()
+    ta.init_params(batch(0))
+    monkeypatch.setenv("SREWD_PAIRED_LEVEL", "force")
+    tb = trainer()
+    tb.init_params(batch(0))
+    # the paired program must hold the same TP placement as the direct one
+    sharded = [
+        p for p in jax.tree.leaves(tb.params)
+        if "model" in tuple(p.sharding.spec)
+    ]
+    assert sharded, "paired TP program holds no model-sharded param"
+    for i in range(2):
+        monkeypatch.setenv("SREWD_PAIRED_LEVEL", "0")
+        la = ta.train_on_batch(batch(i))
+        monkeypatch.setenv("SREWD_PAIRED_LEVEL", "force")
+        lb = tb.train_on_batch(batch(i))
+        assert la == pytest.approx(lb, rel=2e-4)
+    for a, b in zip(jax.tree.leaves(ta.params), jax.tree.leaves(tb.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+    sr = tb.sample_batch(batch(3))
+    assert sr.shape == (8, 16, 32, 1)
+    assert bool(jnp.all(jnp.isfinite(sr)))
+
+
 def test_paired_parity_bf16():
     """bf16 compute dtype (the production setting) stays close."""
     import os
