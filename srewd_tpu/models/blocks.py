@@ -521,8 +521,11 @@ def _chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: fl
 
     # the cap is effectively hard (4x bigger slabs fault the device); the
     # small floor only bounds graph size and can exceed the cap marginally
-    # at shapes far beyond any supported config (b*n > 1M tokens)
-    chunk = max(64, _ATTN_SLAB_BYTES // max(1, b * n * 4))
+    # at shapes far beyond any supported config (b*n > 1M tokens).
+    # Under jax.export shape polymorphism b is symbolic: size the slab for
+    # the serving batch ceiling (16) instead of dividing by it.
+    b_static = b if isinstance(b, int) else 16
+    chunk = max(64, _ATTN_SLAB_BYTES // max(1, b_static * n * 4))
     if n <= chunk:
         return att(q)
     # remat per chunk bounds training memory (recompute in backward);

@@ -2,6 +2,7 @@
 one-shot sample.py CLI): a persistent batched sampler service plus a
 minimal HTTP front-end (scripts/serve.py)."""
 
+from .export import export_sampler, load_sampler, save_sampler
 from .service import SamplerService
 
-__all__ = ["SamplerService"]
+__all__ = ["SamplerService", "export_sampler", "load_sampler", "save_sampler"]

@@ -268,3 +268,65 @@ class TestHTTP:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req)
         assert ei.value.code == 400
+
+
+class TestAOTExport:
+    """jax.export artifact (serving/export.py): the serialized program must
+    reproduce generate_sr exactly, bake the Kelvin scalers, and serve any
+    batch size through the symbolic batch dim — with no model code."""
+
+    def _export(self, stack_t, tmp_path, **kw):
+        from srewd_tpu.serving.export import (
+            export_sampler, load_sampler, save_sampler,
+        )
+
+        model, params, sched = stack_t
+        exp = export_sampler(model, params, sched, (LH, LW, 1), **kw)
+        path = str(tmp_path / "m.srexport")
+        save_sampler(exp, path)
+        return load_sampler(path)
+
+    def test_roundtrip_matches_direct_any_batch(self, stack, tmp_path):
+        model, params, sched = stack
+        fn = self._export(stack, tmp_path)
+        for b, seed in ((2, 7), (5, 9)):
+            lr = _lr(b, seed=b)
+            sr = np.asarray(fn(lr, seed=seed))
+            direct = np.asarray(model.generate_sr(
+                params, {"LR": jnp.asarray(lr)},
+                jax.random.key(jnp.uint32(seed)), sched))
+            assert sr.shape == (b, H, W, 1)
+            np.testing.assert_allclose(sr, direct, atol=1e-5)
+
+    def test_kelvin_scalers_baked_in(self, stack, tmp_path):
+        model, params, sched = stack
+        mean = np.zeros((13, 1, 1, 1), np.float32)
+        std = np.ones((13, 1, 1, 1), np.float32)
+        mean[3], std[3] = 280.0, 12.0
+        lr_sc = MonthlyScalerSet(mean, std, "GlobalStandardScaling")
+        hr_sc = MonthlyScalerSet(mean + 1.0, std * 2.0, "GlobalStandardScaling")
+        fn = self._export(stack, tmp_path, lr_scaler=lr_sc, hr_scaler=hr_sc)
+        lr_k = 280.0 + 12.0 * _lr(2, seed=3)
+        months = np.full((2,), 3, np.int32)
+        sr_k = np.asarray(fn(lr_k, months, seed=1))
+        norm = lr_sc.transform(lr_k, months)
+        direct = model.generate_sr(
+            params, {"LR": jnp.asarray(norm)},
+            jax.random.key(jnp.uint32(1)), sched)
+        want = hr_sc.inverse(np.asarray(direct), months)
+        np.testing.assert_allclose(sr_k, want, atol=1e-3)
+
+    def test_static_batch_export(self, stack, tmp_path):
+        fn = self._export(stack, tmp_path, symbolic_batch=False, batch_size=3)
+        sr = np.asarray(fn(_lr(3, seed=2), seed=0))
+        assert sr.shape == (3, H, W, 1)
+        with pytest.raises(Exception):
+            fn(_lr(2, seed=2), seed=0)
+
+    def test_keep_every_rejected(self, stack):
+        from srewd_tpu.serving.export import export_sampler
+
+        model, params, sched = stack
+        with pytest.raises(ValueError, match="keep_every"):
+            export_sampler(model, params, sched, (LH, LW, 1),
+                           sampler_kwargs={"keep_every": 2})
