@@ -97,6 +97,13 @@ def export_sampler(
     kw = {}
     if platforms is not None:
         kw["platforms"] = tuple(platforms)
+    # On TPU the flash-attention path lowers to a Mosaic custom call, which
+    # jax.export rejects as non-hermetic by default. It IS portable across
+    # same-generation TPUs (the kernel is serialized inside the call), so
+    # allow exactly that target rather than failing the whole export.
+    kw["disabled_checks"] = (
+        jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),
+    )
     return jexport.export(jax.jit(fn), **kw)(*specs)
 
 
