@@ -111,6 +111,24 @@ def main():
          "--sampler", "ddim", "--ddim-steps", "10", "--platform", "cpu"], env=env)
     assert list((work / "samples_ddim").rglob("*.png")), "ddim sample produced no images"
 
+    # --- AOT export: checkpoint -> artifact -> model-code-free sampling ---
+    art = work / "e2e.srexport"
+    run([sys.executable, "scripts/export_sampler.py", "-c", str(cfg_path),
+         "-m", str(ckpts[-1]), "-o", str(art), "--platform", "cpu"], env=env)
+    assert art.exists() and art.stat().st_size > 0, "export wrote no artifact"
+    check = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu'; "
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import numpy as np; "
+        "from srewd_tpu.serving.export import load_sampler; "
+        f"fn = load_sampler({str(art)!r}); "
+        "lr = 278 + 8*np.random.default_rng(0).standard_normal((3,8,16,1)).astype('float32'); "
+        "sr = np.asarray(fn(lr, months=np.ones(3,'int32'), seed=1)); "
+        "assert sr.shape == (3,32,64,1) and np.isfinite(sr).all(), sr.shape; "
+        "print('EXPORT ROUNDTRIP OK', sr.shape)"
+    )
+    run([sys.executable, "-c", check], env=env)
+
     # --- validation-only phase from the checkpoint (train.py -p val) ---
     vcfg = json.loads(json.dumps(cfg))
     vcfg["name"] = "e2e_val"
