@@ -122,14 +122,16 @@ def load_sampler(path: str):
     with open(path, "rb") as f:
         data = f.read()
     exported = jexport.deserialize(bytearray(data))
+    # one jit wrapper for the artifact's lifetime: re-wrapping per call
+    # would discard the trace cache (the symbolic-batch program still
+    # compiles once per distinct concrete batch size, as expected)
+    call = jax.jit(exported.call)
 
     def fn(lr, months=None, seed=0):
         lr = jnp.asarray(lr, jnp.float32)
         if months is None:
             months = jnp.zeros((lr.shape[0],), jnp.int32)
-        return jax.jit(exported.call)(
-            lr, jnp.asarray(months, jnp.int32), jnp.uint32(seed)
-        )
+        return call(lr, jnp.asarray(months, jnp.int32), jnp.uint32(seed))
 
     fn.exported = exported
     return fn
