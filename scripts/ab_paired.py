@@ -136,8 +136,6 @@ def main():
                     step, (params, opt_state), jnp.arange(args.train_steps))
                 return losses
 
-                # params donated implicitly via scan carry reuse
-
             losses = run(params, key)              # compile + warmup
             first = float(losses[0])
             times = []

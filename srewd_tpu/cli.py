@@ -26,6 +26,10 @@ def build_data_handler(opt: dict, storage_root: str | None = None, **overrides) 
         train_max_date=d.get("train_max_date"),
         val_min_date=d.get("val_min_date"),
         val_max_date=d.get("val_max_date"),
+        # config extension: extra [min, max] pairs unioned into the index
+        # (reference add_data_by_date, datasets.py:210-255)
+        train_date_ranges=d.get("train_date_ranges"),
+        val_date_ranges=d.get("val_date_ranges"),
         train_batch_size=int(d.get("batch_size", 4)),
         val_batch_size=int(d.get("val_batch_size", 8)),
         shuffle=bool(d.get("use_shuffle", True)),
@@ -67,6 +71,10 @@ def build_trainer(opt: dict, example_batch: dict, dtype=None) -> DiffusionTraine
             "ddim_steps": int(dcfg.get("ddim_steps", 50)),
             "ddim_eta": float(dcfg.get("ddim_eta", 0.0)),
         }
+        if dcfg.get("tau_spacing"):
+            # fast-sampler timestep spacing (gaussian.select_taus):
+            # linspace | trailing | quad | logsnr
+            sampler_kwargs["tau_spacing"] = str(dcfg["tau_spacing"])
     if "clip_denoised" in dcfg:
         # config extension: the reference always clamps the x0 estimate to
         # [-1,1] (diffusion.py:168-169) — correct for [-1,1]-ranged images,
@@ -83,6 +91,12 @@ def build_trainer(opt: dict, example_batch: dict, dtype=None) -> DiffusionTraine
         seed=int(opt.get("seed", 0)),
         checkpoint_dir=opt["path"].get("checkpoint"),
         sampler_kwargs=sampler_kwargs,
+        # config extension: train.checkpoint_keep rotates old checkpoints
+        # (None = reference parity, keep everything)
+        checkpoint_keep=(
+            int(opt["train"]["checkpoint_keep"])
+            if opt.get("train", {}).get("checkpoint_keep") else None
+        ),
     )
     trainer.init_params(example_batch)
 

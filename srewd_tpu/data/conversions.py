@@ -122,18 +122,22 @@ def netcdf_to_lmdb(
     env = lmdb.open(target_dir, map_size=int(map_size), writemap=True)
     written = 0
     try:
-        with env.begin(write=True) as txn:
-            for var_name in ds.data_vars:
-                var = ds[var_name]
-                if "time" not in var.dims:
-                    continue
-                stamps = var["time"].values
-                t_axis = tuple(var.dims).index("time")
-                for lo in range(0, len(stamps), batch_size):
-                    chunk_ts = stamps[lo : lo + batch_size]
-                    chunk = np.asarray(
-                        var.isel(time=slice(lo, lo + len(chunk_ts))).values
-                    )
+        for var_name in ds.data_vars:
+            var = ds[var_name]
+            if "time" not in var.dims:
+                continue
+            stamps = var["time"].values
+            t_axis = tuple(var.dims).index("time")
+            for lo in range(0, len(stamps), batch_size):
+                chunk_ts = stamps[lo : lo + batch_size]
+                chunk = np.asarray(
+                    var.isel(time=slice(lo, lo + len(chunk_ts))).values
+                )
+                # one write txn per chunk: bounds dirty-page growth for
+                # large exports (the reference commits per batch too,
+                # netcdf_to_lmdb.py:66-84); duplicate detection still spans
+                # the whole export since committed keys persist in the db
+                with env.begin(write=True) as txn:
                     for i, ts in enumerate(chunk_ts):
                         key = format_date(parse_date(ts)).encode("utf-8")
                         if not txn.put(

@@ -29,7 +29,7 @@ import numpy as np
 
 from .scalers import MonthlyScalerSet, fit_monthly_scalers
 from .store import WeatherStore
-from .timeindex import hourly_range, months_of, parse_date, select_months
+from .timeindex import months_of, parse_date, select_months, union_hourly_ranges
 
 _TYPES = ("lr", "hr")
 
@@ -57,6 +57,12 @@ class DataHandler:
     train_max_date: str | None = None
     val_min_date: str | None = None
     val_max_date: str | None = None
+    # extra (min, max) date-range pairs unioned into the index — the
+    # reference's add_data_by_date disjoint-range merging (datasets.py:
+    # 210-255), exposed as config keys data.train_date_ranges /
+    # data.val_date_ranges. Extra train ranges also feed scaler fitting.
+    train_date_ranges: list | None = None
+    val_date_ranges: list | None = None
     train_batch_size: int = 4
     val_batch_size: int = 8
     shuffle: bool = True
@@ -108,6 +114,7 @@ class DataHandler:
                     self.groups,
                     kind=self.transformation,
                     cache_dir=cache_dir,
+                    extra_ranges=self.train_date_ranges,
                 )
                 for coord in ("lat", "lon"):
                     vals = store.coord_values(coord)
@@ -117,14 +124,22 @@ class DataHandler:
             self.batch_scalers[t] = _concat_scalers(
                 [self.scalers[(v, t)] for v in self.variables]
             )
-        self.train_timestamps = self._index(self.train_min_date, self.train_max_date)
-        self.val_timestamps = self._index(self.val_min_date, self.val_max_date)
+        self.train_timestamps = self._index(
+            self.train_min_date, self.train_max_date, self.train_date_ranges
+        )
+        self.val_timestamps = self._index(
+            self.val_min_date, self.val_max_date, self.val_date_ranges
+        )
         return self
 
-    def _index(self, min_date, max_date) -> np.ndarray | None:
-        if min_date is None or max_date is None:
+    def _index(self, min_date, max_date, extra_ranges=None) -> np.ndarray | None:
+        spans = []
+        if min_date is not None and max_date is not None:
+            spans.append((min_date, max_date))
+        spans.extend(tuple(r) for r in (extra_ranges or []))
+        if not spans:
             return None
-        ts = select_months(hourly_range(min_date, max_date), self.months_subset)
+        ts = select_months(union_hourly_ranges(spans), self.months_subset)
         # intersect with every store's available range, shifted so that every
         # lead/delay offset stays readable (datasets.py:176-177)
         offs = [self.lead_time + d for d in (self.delays or [0])]

@@ -29,7 +29,13 @@ import os
 import numpy as np
 
 from .store import WeatherStore
-from .timeindex import hourly_range, month_to_group, months_of, select_months, validate_groups
+from .timeindex import (
+    month_to_group,
+    months_of,
+    select_months,
+    union_hourly_ranges,
+    validate_groups,
+)
 
 
 class WelfordAccumulator:
@@ -128,11 +134,15 @@ def fit_monthly_scalers(
     kind: str = "GlobalStandardScaling",
     chunk: int = 1024,
     cache_dir: str | None = None,
+    extra_ranges=None,
 ) -> MonthlyScalerSet:
     """Fit one scaler per month GROUP over [min_date, max_date) training data.
 
     Streaming over `chunk`-sized bulk reads; float64 exact to the reference's
     merge. Results are memoized in `cache_dir` keyed by the fit inputs.
+    extra_ranges: additional (min, max) pairs unioned into the fit index
+    (add_data_by_date parity — merged ranges feed the reference's transform
+    fit too, dataset_builder.py:249-254).
     """
     if kind == "IdentityTransform":
         return MonthlyScalerSet.identity_set()
@@ -161,9 +171,13 @@ def fit_monthly_scalers(
         std = np.broadcast_to(s, (13,) + s.shape).copy()
         return MonthlyScalerSet(mean, std, kind)
 
+    spans = ([(min_date, max_date)] if min_date is not None and max_date is not None
+             else []) + [tuple(r) for r in (extra_ranges or [])]
+
     cache_path = None
     if cache_dir:
-        key = repr((os.path.abspath(store.path), str(min_date), str(max_date),
+        key = repr((os.path.abspath(store.path),
+                    tuple((str(a), str(b)) for a, b in spans),
                     tuple(sorted(months_subset or range(1, 13))),
                     tuple(tuple(g) for g in groups), kind))
         digest = hashlib.sha256(key.encode()).hexdigest()[:24]
@@ -172,7 +186,7 @@ def fit_monthly_scalers(
         if os.path.isfile(cache_path):
             return MonthlyScalerSet.load(cache_path)
 
-    ts = select_months(hourly_range(min_date, max_date), months_subset)
+    ts = select_months(union_hourly_ranges(spans), months_subset)
     months = months_of(ts)
     m2g = month_to_group(groups)
     axes = _KIND_AXES[kind]

@@ -233,6 +233,34 @@ def write_constant_variable(
     np.save(os.path.join(base, SAMPLES_DIR, CONSTANT_FILE), data.astype(np.float32))
 
 
+def _powerlaw_fields(
+    rng: np.random.Generator,
+    n: int,
+    h: int,
+    w: int,
+    alpha: float,
+    cutoff: float,
+) -> np.ndarray:
+    """[n,h,w] unit-variance random fields with isotropic power-law spectrum.
+
+    Spectral power ~ (|k| + k0)^-alpha, band-limited to |k| <= cutoff
+    (cycles/pixel). Built by spectrally filtering white real noise
+    (rfft2 -> amplitude shaping -> irfft2), so Hermitian symmetry is exact.
+    """
+    ky = np.fft.fftfreq(h)[:, None]
+    kx = np.fft.rfftfreq(w)[None, :]
+    k = np.hypot(ky, kx)
+    k0 = 1.0 / max(h, w)
+    amp = np.where((k > 0) & (k <= cutoff), (k + k0) ** (-alpha / 2.0), 0.0)
+    out = np.empty((n, h, w), np.float32)
+    for i0 in range(0, n, 256):  # chunked: bounds FFT scratch memory
+        white = rng.standard_normal((min(256, n - i0), h, w))
+        f = np.fft.irfft2(np.fft.rfft2(white) * amp, s=(h, w))
+        f /= f.std(axis=(1, 2), keepdims=True)
+        out[i0 : i0 + f.shape[0]] = f.astype(np.float32)
+    return out
+
+
 def make_synthetic_weatherbench(
     root: str,
     min_date: str = "2017-01-01-00",
@@ -243,13 +271,28 @@ def make_synthetic_weatherbench(
     seed: int = 0,
     base_kelvin: float = 285.0,
     constants: tuple = (),
+    spectrum: str = "tiles",
 ) -> str:
-    """Generate a tiny consistent synthetic WeatherBench tree for tests/benches.
+    """Generate a consistent synthetic WeatherBench tree for tests/benches.
 
-    HR fields are smooth random temperature-like fields (Kelvin scale with a
-    seasonal/diurnal modulation); LR is the 4x block-mean of HR, so the
-    LR->HR relationship is learnable. `constants` names extra time-invariant
-    variables (e.g. "orography") written as single constant fields.
+    LR is always the exact 4x block-mean of HR, so the LR->HR relationship is
+    learnable. Two HR texture modes (`spectrum`):
+
+    * "tiles" (legacy): piecewise-constant 16x16-px texture tiles on top of a
+      smooth planetary pattern + seasonal/diurnal modulation. Deterministically
+      recoverable from LR, but spectrally unlike real t2m (flat then abrupt).
+    * "t2m": spectrally realistic — a red power-law anomaly field (power
+      ~ k^-3, the synoptic-scale slope of real 2-m temperature) plus
+      tanh-sharpened fronts from a second power-law field. Both generator
+      fields are band-limited to the LR Nyquist (0.125 cycles/HR-px), so the
+      HR detail — including the sub-grid harmonics the tanh front-sharpening
+      creates — is a deterministic function of LR-resolvable structure:
+      recoverable by a model, provably smeared by bicubic interpolation.
+      This replaces the reference's real-WeatherBench NetCDF path
+      (data/conversions/netcdf_to_npy.py) that this environment cannot run.
+
+    `constants` names extra time-invariant variables (e.g. "orography")
+    written as single constant fields.
     """
     from .timeindex import hourly_range, months_of
 
@@ -265,14 +308,22 @@ def make_synthetic_weatherbench(
     season = 10.0 * np.cos((months[:, None, None] - 7.0) / 12.0 * 2 * np.pi)
     hours = (ts.astype("datetime64[h]").astype(int) % 24).astype(np.float32)
     diurnal = 3.0 * np.sin(hours / 24.0 * 2 * np.pi)[:, None, None]
-    smooth = rng.standard_normal((n, 8, 16)).astype(np.float32)
-    texture = np.kron(smooth, np.ones((1, hh // 8, hw // 16), np.float32))
+    if spectrum == "tiles":
+        smooth = rng.standard_normal((n, 8, 16)).astype(np.float32)
+        texture = 2.0 * np.kron(smooth, np.ones((1, hh // 8, hw // 16), np.float32))
+    elif spectrum == "t2m":
+        cutoff = 0.5 * (lh / hh)  # LR Nyquist in HR cycles/pixel
+        anomaly = _powerlaw_fields(rng, n, hh, hw, alpha=3.0, cutoff=cutoff)
+        fronts = _powerlaw_fields(rng, n, hh, hw, alpha=2.0, cutoff=cutoff)
+        texture = 3.0 * anomaly + 2.0 * np.tanh(fronts / 0.35)
+    else:
+        raise ValueError(f"unknown synthetic spectrum {spectrum!r}")
     hr = (
         base_kelvin
         + 20.0 * np.sin(yy) * np.cos(xx / 2)
         + season
         + diurnal
-        + 2.0 * texture
+        + texture
     ).astype(np.float32)
     lr = hr.reshape(n, lh, hh // lh, lw, hw // lw).mean(axis=(2, 4))
 

@@ -45,6 +45,23 @@ def hourly_range(min_date, max_date) -> np.ndarray:
     return np.arange(lo, hi, HOUR)
 
 
+def union_hourly_ranges(spans) -> np.ndarray:
+    """Sorted union of [min, max) hourly ranges.
+
+    Reference equivalent: TimeVariateData.add_data_by_date merging disjoint
+    extra date ranges into one sample index via an IntervalTree
+    (datasets.py:210-255). Overlapping spans coalesce (np.union1d) instead
+    of raising — the resulting index is identical either way.
+    """
+    parts = [hourly_range(lo, hi) for lo, hi in spans]
+    if not parts:
+        return np.array([], dtype="datetime64[h]")
+    out = parts[0]
+    for p in parts[1:]:
+        out = np.union1d(out, p)
+    return out.astype("datetime64[h]")
+
+
 def months_of(ts: np.ndarray) -> np.ndarray:
     """Calendar month (1..12) of each timestamp — vectorized."""
     return (ts.astype("datetime64[M]").astype(int) % 12 + 1).astype(np.int32)

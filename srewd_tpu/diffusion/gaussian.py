@@ -134,6 +134,58 @@ def sample_chain(
     return img, frames
 
 
+def select_taus(schedule: Schedule, steps: int, spacing: str = "linspace"):
+    """Timestep sub-sequence for the fast samplers (ascending, unique numpy int64).
+
+    The reference's only speed/quality knob is shortening the VAL beta
+    schedule itself (T ablations 100/500/2000,
+    configs/experiment_configs/phydiff/resdiff+physics_*_eval_*.json); the
+    fast samplers here instead keep the T=1000-trained model and walk a
+    sub-sequence of its timesteps. HOW that sub-sequence is spaced dominates
+    few-step quality — especially for the residual archs, whose x0 target
+    (HR - bicubic, sigma-scaled) has amplitude ~0.05 so the informative part
+    of the chain is compressed into the last few dozen timesteps of a linear
+    beta schedule.
+
+    spacing:
+      * "linspace": round(linspace(0, T-1, steps)) — uniform in t (legacy
+        default; places almost no steps in the low-t region that matters for
+        small-amplitude targets).
+      * "trailing": round(arange(T, 0, -T/steps)) - 1 — uniform in t anchored
+        at T-1, skipping t=0 (diffusers' "trailing"; included for sweeps).
+      * "quad": round(linspace(0, sqrt(T-1), steps)**2) — quadratic, denser
+        near t=0 (the original DDIM paper's CIFAR choice).
+      * "logsnr": uniform in lambda = 0.5*log(acp/(1-acp)) between
+        lambda(T-1) and lambda(0) — equal work per log-SNR band
+        (DPM-Solver's recommended spacing, arXiv:2206.00927 §3.3).
+    """
+    import numpy as np
+
+    t_total = schedule.num_timesteps
+    steps = min(int(steps), t_total)
+    if spacing == "linspace":
+        taus = np.linspace(0, t_total - 1, steps).round()
+    elif spacing == "trailing":
+        taus = np.arange(t_total, 0, -t_total / steps).round() - 1
+    elif spacing == "quad":
+        taus = (np.linspace(0, np.sqrt(t_total - 1), steps) ** 2).round()
+    elif spacing == "logsnr":
+        acp = np.asarray(schedule.alphas_cumprod, np.float64)
+        lam = 0.5 * np.log(acp / np.maximum(1.0 - acp, 1e-20))  # decreasing in t
+        targets = np.linspace(lam[-1], lam[0], steps)
+        # lam reversed is increasing -> searchsorted, then map back to t
+        rev = lam[::-1]
+        idx = np.clip(np.searchsorted(rev, targets), 1, t_total - 1)
+        pick = np.where(
+            np.abs(rev[idx] - targets) < np.abs(rev[idx - 1] - targets), idx, idx - 1
+        )
+        taus = (t_total - 1) - pick
+        taus = np.concatenate([taus, [0, t_total - 1]])  # pin both endpoints
+    else:
+        raise ValueError(f"unknown tau spacing {spacing!r}")
+    return np.unique(taus.astype(np.int64))
+
+
 def dpm_solver_chain(
     schedule: Schedule,
     denoise_fn: DenoiseFn,
@@ -142,6 +194,7 @@ def dpm_solver_chain(
     steps: int = 25,
     clip_denoised: bool = True,
     keep_every: Optional[int] = None,
+    tau_spacing: str = "linspace",
 ) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
     """DPM-Solver++(2M) (Lu et al., arXiv:2211.01095) — deterministic
     second-order multistep ODE sampler in the data (x0) parameterization.
@@ -166,9 +219,7 @@ def dpm_solver_chain(
     """
     import numpy as np
 
-    t_total = schedule.num_timesteps
-    steps = min(int(steps), t_total)
-    taus = np.unique(np.linspace(0, t_total - 1, steps).round().astype(np.int64))
+    taus = select_taus(schedule, steps, tau_spacing)
 
     acp = np.asarray(schedule.alphas_cumprod, np.float64)
     # execution order: descending tau; dest of step j is src of step j+1,
@@ -238,6 +289,7 @@ def ddim_sample_chain(
     eta: float = 0.0,
     clip_denoised: bool = True,
     keep_every: Optional[int] = None,
+    tau_spacing: str = "linspace",
 ) -> jnp.ndarray | tuple[jnp.ndarray, jnp.ndarray]:
     """DDIM sampling (Song et al., arXiv:2010.02502) over a timestep subset.
 
@@ -254,11 +306,7 @@ def ddim_sample_chain(
     intermediate image as [S // keep_every, *shape], where S is the number
     of DDIM steps actually walked.
     """
-    import numpy as np
-
-    t_total = schedule.num_timesteps
-    steps = min(int(steps), t_total)
-    taus = np.unique(np.linspace(0, t_total - 1, steps).round().astype(np.int64))
+    taus = select_taus(schedule, steps, tau_spacing)
 
     a_t = schedule.alphas_cumprod[taus]  # [S]
     a_prev = jnp.concatenate(

@@ -238,10 +238,21 @@ class Conv(nn.Conv):
                 and self.strides in (None, 1, (1, 1))
                 and self.padding in (1, "SAME", ((1, 1), (1, 1)))
             )
-            is1 = ks == (1, 1) and self.strides in (None, 1, (1, 1))
-            if not (is3 or is1) or self.feature_group_count != 1 or x.ndim != 4:
+            is1 = (
+                ks == (1, 1)
+                and self.strides in (None, 1, (1, 1))
+                # for 1x1 only zero padding keeps paired == plain (SAME == VALID)
+                and self.padding in ("SAME", "VALID", 0, (0, 0), ((0, 0), (0, 0)))
+            )
+            dilated = any(
+                d not in (None, 1, (1, 1))
+                for d in (self.kernel_dilation, self.input_dilation)
+            )
+            if not (is3 or is1) or dilated or self.feature_group_count != 1 or x.ndim != 4:
                 raise ValueError(
-                    f"paired_region: unsupported conv {ks} stride={self.strides}"
+                    f"paired_region: unsupported conv {ks} stride={self.strides} "
+                    f"padding={self.padding} dilation="
+                    f"{(self.kernel_dilation, self.input_dilation)}"
                 )
             c_in = x.shape[-1] // 2  # unpaired input channels
             kernel = self.param(
@@ -523,8 +534,13 @@ def _chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: fl
     # small floor only bounds graph size and can exceed the cap marginally
     # at shapes far beyond any supported config (b*n > 1M tokens).
     # Under jax.export shape polymorphism b is symbolic: size the slab for
-    # the serving batch ceiling (16) instead of dividing by it.
-    b_static = b if isinstance(b, int) else 16
+    # the serving batch ceiling (SREWD_EXPORT_MAX_BATCH, default 16) instead
+    # of dividing by it. Serving a symbolic-batch export beyond the ceiling
+    # scales the effective slab past the 64 MB cap (256 MB faults the
+    # device) — export_sampler documents and pins the same ceiling.
+    b_static = b if isinstance(b, int) else int(
+        _os.environ.get("SREWD_EXPORT_MAX_BATCH", "16")
+    )
     chunk = max(64, _ATTN_SLAB_BYTES // max(1, b_static * n * 4))
     if n <= chunk:
         return att(q)

@@ -201,6 +201,7 @@ class DiffusionModel:
         sampler: str = "ddpm",
         ddim_steps: int = 50,
         ddim_eta: float = 0.0,
+        tau_spacing: str = "linspace",
     ) -> jnp.ndarray:
         """Super-resolve a batch: full reverse chain as one lax.scan.
 
@@ -214,6 +215,9 @@ class DiffusionModel:
         sub-sequence sampler; `ddim_steps`, `ddim_eta`), or "dpm"
         (DPM-Solver++(2M), arXiv:2211.01095 — second-order deterministic;
         reuses `ddim_steps` as its step count, `ddim_eta` ignored).
+        tau_spacing: fast-sampler timestep spacing (gaussian.select_taus) —
+        "logsnr" is the measured best for the residual archs; "linspace"
+        kept as the back-compat default.
         """
         cond = self.condition(params, batch)
         x_in0, kwargs = self._unet_inputs(params, batch, cond, jnp.zeros_like(cond))
@@ -245,13 +249,13 @@ class DiffusionModel:
                 out = ddim_sample_chain(
                     schedule, denoise_fn, cond.shape, rng,
                     steps=ddim_steps, eta=ddim_eta, clip_denoised=clip_denoised,
-                    keep_every=keep_every,
+                    keep_every=keep_every, tau_spacing=tau_spacing,
                 )
             elif sampler == "dpm":
                 out = dpm_solver_chain(
                     schedule, denoise_fn, cond.shape, rng,
                     steps=ddim_steps, clip_denoised=clip_denoised,
-                    keep_every=keep_every,
+                    keep_every=keep_every, tau_spacing=tau_spacing,
                 )
             else:
                 out = sample_chain(

@@ -63,6 +63,13 @@ def export_sampler(
     model's diffusion config, as in generate_sr). lr_scaler/hr_scaler are
     MonthlyScalerSet instances for the Kelvin boundary (None -> the
     artifact works in normalized space and ignores `months`).
+
+    symbolic_batch exports serve any batch size, with one hard ceiling:
+    the chunked (non-flash) attention path sizes its memory slab for
+    SREWD_EXPORT_MAX_BATCH (default 16) at trace time — serving a larger
+    batch on that path scales the slab past the 64 MB device budget. Set
+    the env var at export time if a bigger serving batch is needed
+    (models/blocks._chunked_attention).
     """
     lh, lw, c = (int(v) for v in lr_shape)
     kwargs = dict(sampler_kwargs or {})

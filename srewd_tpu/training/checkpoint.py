@@ -19,8 +19,13 @@ _CKPT_RE = re.compile(r"^I(\d+)_E(\d+)$")
 
 
 class CheckpointManager:
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, keep: int | None = None):
+        """keep: retain only the newest `keep` checkpoints after each save
+        (rotation for long runs — a full train state is params + opt moments
+        + EMA, ~1.5 GB for the 92M-param UNet). None = keep all (reference
+        parity: DDPM.save_network never deletes)."""
         self.directory = os.path.abspath(directory)
+        self.keep = keep
         os.makedirs(self.directory, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
 
@@ -32,6 +37,12 @@ class CheckpointManager:
         path = self.path_for(step, epoch)
         self._ckpt.save(path, state, force=True)
         self._ckpt.wait_until_finished()
+        if self.keep is not None:
+            import shutil
+
+            for _, _, old in self.all_checkpoints()[: -self.keep]:
+                if os.path.abspath(old) != os.path.abspath(path):
+                    shutil.rmtree(old, ignore_errors=True)
         return path
 
     def restore(self, path: str, target: dict | None = None) -> dict:

@@ -51,6 +51,7 @@ class DiffusionTrainer:
         checkpoint_dir: Optional[str] = None,
         sampler_kwargs: Optional[dict] = None,
         model_shard_min_dim: Optional[int] = None,
+        checkpoint_keep: Optional[int] = None,
     ):
         # model_shard_min_dim: opt-in lazy tensor parallelism — params whose
         # last (output-channel) dim is >= this and divisible by the mesh
@@ -72,7 +73,10 @@ class DiffusionTrainer:
         self.params = None
         self.opt_state = None
         self.ema_params = None
-        self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+        self.ckpt = (
+            CheckpointManager(checkpoint_dir, keep=checkpoint_keep)
+            if checkpoint_dir else None
+        )
         self._build_steps()
 
     # ----------------------------------------------------------------- build

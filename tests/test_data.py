@@ -432,3 +432,124 @@ class TestGrainPipeline:
         e0 = next(iter(grain_batches(dh, epoch=0)))["HR"]
         e1 = next(iter(grain_batches(dh, epoch=1)))["HR"]
         assert not np.allclose(e0, e1)
+
+
+class TestSyntheticSpectrum:
+    """The spectrally-realistic synthetic mode (store.make_synthetic_weatherbench
+    spectrum='t2m') — replaces r3's flat-then-abrupt tile texture with a red
+    power-law anomaly + tanh fronts, both band-limited to the LR Nyquist so
+    the HR detail stays deterministically recoverable from LR."""
+
+    def test_powerlaw_fields_statistics(self):
+        from srewd_tpu.data.store import _powerlaw_fields
+
+        rng = np.random.default_rng(0)
+        h, w, cutoff = 64, 128, 0.125
+        f = _powerlaw_fields(rng, 4, h, w, alpha=3.0, cutoff=cutoff)
+        assert f.shape == (4, h, w)
+        np.testing.assert_allclose(f.std(axis=(1, 2)), 1.0, atol=1e-4)
+        spec = np.abs(np.fft.rfft2(f)) ** 2
+        ky = np.fft.fftfreq(h)[:, None]
+        kx = np.fft.rfftfreq(w)[None, :]
+        k = np.hypot(ky, kx)
+        # band-limited: no power beyond the cutoff
+        assert spec[:, k > cutoff].max() < 1e-12 * spec.max()
+        # red: the lowest-k band carries far more power than the band below
+        # the cutoff
+        lo = spec[:, (k > 0) & (k < 0.02)].mean()
+        hi = spec[:, (k > 0.08) & (k <= cutoff)].mean()
+        assert lo > 30 * hi
+
+    def test_t2m_mode_tree(self, tmp_path):
+        from srewd_tpu.data.store import WeatherStore, make_synthetic_weatherbench
+
+        root = make_synthetic_weatherbench(
+            str(tmp_path / "d"), "2017-01-01-00", "2017-01-01-06",
+            lr_shape=(16, 32), hr_shape=(64, 128), spectrum="t2m",
+        )
+        hr = WeatherStore(f"{root}/hr/t2m")
+        lr = WeatherStore(f"{root}/lr/t2m")
+        a = hr.read("2017-01-01-03")
+        b = lr.read("2017-01-01-03")
+        assert a.shape == (64, 128, 1) and b.shape == (16, 32, 1)
+        # LR is the exact 4x block mean of HR (the learnability contract)
+        block = a[..., 0].reshape(16, 4, 32, 4).mean(axis=(1, 3))
+        np.testing.assert_allclose(b[..., 0], block, rtol=1e-5)
+        # Kelvin scale preserved
+        assert 220 < a.mean() < 330
+
+    def test_t2m_sharper_than_tiles_blocks(self, tmp_path):
+        """Front sharpening: the t2m mode's HR carries sub-LR-grid gradient
+        structure a bicubic upsample of its own LR cannot reproduce."""
+        import jax.numpy as jnp
+
+        from srewd_tpu.data.store import WeatherStore, make_synthetic_weatherbench
+        from srewd_tpu.ops.resize import bicubic_up4
+
+        root = make_synthetic_weatherbench(
+            str(tmp_path / "d2"), "2017-01-01-00", "2017-01-01-02",
+            lr_shape=(16, 32), hr_shape=(64, 128), spectrum="t2m", seed=3,
+        )
+        hr = WeatherStore(f"{root}/hr/t2m").read("2017-01-01-01")
+        lr = WeatherStore(f"{root}/lr/t2m").read("2017-01-01-01")
+        up = np.asarray(bicubic_up4(jnp.asarray(lr)[None]))[0]
+        resid = hr[..., 0] - up[..., 0]
+        assert resid.std() > 0.15  # bicubic provably misses HR detail (Kelvin)
+
+    def test_unknown_spectrum_raises(self, tmp_path):
+        import pytest
+
+        from srewd_tpu.data.store import make_synthetic_weatherbench
+
+        with pytest.raises(ValueError):
+            make_synthetic_weatherbench(
+                str(tmp_path / "d3"), "2017-01-01-00", "2017-01-01-02",
+                lr_shape=(8, 16), hr_shape=(32, 64), spectrum="blue",
+            )
+
+
+class TestDisjointDateRanges:
+    """add_data_by_date parity: extra (min, max) ranges unioned into the
+    index (reference data/datasets.py:210-255, IntervalTree merging)."""
+
+    def test_union_hourly_ranges(self):
+        from srewd_tpu.data.timeindex import hourly_range, union_hourly_ranges
+
+        a = union_hourly_ranges([
+            ("2017-01-01-00", "2017-01-01-06"),
+            ("2017-01-02-00", "2017-01-02-03"),
+        ])
+        assert len(a) == 9
+        assert np.all(np.diff(a).astype(int) > 0)  # sorted, unique
+        # overlapping spans coalesce
+        b = union_hourly_ranges([
+            ("2017-01-01-00", "2017-01-01-06"),
+            ("2017-01-01-03", "2017-01-01-09"),
+        ])
+        np.testing.assert_array_equal(
+            b, hourly_range("2017-01-01-00", "2017-01-01-09"))
+
+    def test_handler_extra_train_ranges(self, tmp_path):
+        from srewd_tpu.data.pipeline import DataHandler
+        from srewd_tpu.data.store import make_synthetic_weatherbench
+
+        root = make_synthetic_weatherbench(
+            str(tmp_path / "d"), "2017-01-01-00", "2017-01-05-00",
+            lr_shape=(8, 16), hr_shape=(32, 64),
+        )
+        base = dict(
+            dataroot=root, variables=["t2m"], train_batch_size=2,
+            train_min_date="2017-01-01-00", train_max_date="2017-01-02-00",
+        )
+        dh0 = DataHandler(**base).process_data()
+        dh1 = DataHandler(
+            **base,
+            train_date_ranges=[["2017-01-03-00", "2017-01-04-00"]],
+        ).process_data()
+        assert len(dh1.train_timestamps) == len(dh0.train_timestamps) + 24
+        # the merged range contributes to the fitted scaler stats
+        assert not np.allclose(
+            dh1.batch_scalers["hr"].mean, dh0.batch_scalers["hr"].mean)
+        # batches assemble across the disjoint spans
+        batch = next(iter(dh1.train_batches(0)))
+        assert batch["HR"].shape == (2, 32, 64, 1)

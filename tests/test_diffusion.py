@@ -451,3 +451,108 @@ class TestDPMSolver:
                             sampler="dpm", ddim_steps=8)
         assert out.shape == batch["HR"].shape
         assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestTauSpacing:
+    """select_taus — fast-sampler timestep spacings (gaussian.select_taus)."""
+
+    def _sched(self):
+        from srewd_tpu.diffusion.schedule import Schedule
+
+        # the reference's production schedule (linear 1e-6 -> 1e-2, T=1000)
+        return Schedule.create("linear", n_timestep=1000,
+                               linear_start=1e-6, linear_end=1e-2)
+
+    def test_properties(self):
+        from srewd_tpu.diffusion.gaussian import select_taus
+
+        sched = self._sched()
+        for spacing in ("linspace", "trailing", "quad", "logsnr"):
+            taus = select_taus(sched, 50, spacing)
+            assert taus.ndim == 1 and len(taus) >= 2, spacing
+            assert np.all(np.diff(taus) > 0), spacing  # ascending unique
+            assert taus[0] >= 0 and taus[-1] == 999, spacing
+            if spacing != "trailing":  # trailing skips t=0 by construction
+                assert taus[0] == 0, spacing
+
+    def test_unknown_spacing_raises(self):
+        import pytest
+
+        from srewd_tpu.diffusion.gaussian import select_taus
+
+        with pytest.raises(ValueError):
+            select_taus(self._sched(), 50, "nope")
+
+    def test_logsnr_concentrates_low_t(self):
+        """On the production schedule the high-SNR region is compressed into
+        the first few dozen timesteps; logsnr spacing must spend many more
+        of its 50 steps there than uniform-in-t does (~3)."""
+        from srewd_tpu.diffusion.gaussian import select_taus
+
+        sched = self._sched()
+        lin = select_taus(sched, 50, "linspace")
+        log = select_taus(sched, 50, "logsnr")
+        assert (log < 50).sum() >= 3 * max(int((lin < 50).sum()), 1)
+
+    def test_residual_regime_logsnr_beats_linspace(self):
+        """The trained-model failure mode (VERDICT r3 #1) in miniature: a
+        small-amplitude x0 (residual archs' HR - bicubic target, ~0.05 sigma)
+        makes the informative chain region tiny in t. A Bayes-optimal
+        denoiser for a two-point prior x0 = +-s discriminates the spacings:
+        uniform-in-t DDIM-50 misses the decision region, logsnr resolves it."""
+        import jax
+
+        from srewd_tpu.diffusion.gaussian import ddim_sample_chain
+        from srewd_tpu.diffusion.schedule import Schedule
+
+        sched = Schedule.create("linear", n_timestep=1000,
+                                linear_start=1e-6, linear_end=1e-2)
+        s = 0.05
+
+        def bayes(x, lvl):
+            a = (lvl**2).reshape(-1, 1, 1, 1)
+            x0 = s * jnp.tanh(jnp.sqrt(a) * s * x / jnp.maximum(1.0 - a, 1e-12))
+            return (x - jnp.sqrt(a) * x0) / jnp.sqrt(jnp.maximum(1.0 - a, 1e-12))
+
+        key = jax.random.key(11)
+        shape = (4, 8, 16, 1)
+        ref = np.asarray(ddim_sample_chain(
+            sched, bayes, shape, key, steps=1000, clip_denoised=False))
+        errs = {}
+        for spacing in ("linspace", "logsnr"):
+            out = np.asarray(ddim_sample_chain(
+                sched, bayes, shape, key, steps=50, clip_denoised=False,
+                tau_spacing=spacing))
+            errs[spacing] = np.abs(out - ref).mean()
+        # the tight-step chain commits to +-s; spacing decides whether the
+        # 50-step walk gets there
+        assert errs["logsnr"] < 0.5 * errs["linspace"], errs
+
+    def test_oracle_exact_under_all_spacings(self):
+        """With an exact denoiser DDIM is exact for any sub-sequence —
+        spacing changes efficiency, never correctness."""
+        import jax
+
+        from srewd_tpu.diffusion.gaussian import (
+            ddim_sample_chain,
+            dpm_solver_chain,
+        )
+        from srewd_tpu.diffusion.schedule import Schedule
+
+        sched = Schedule.create("linear", n_timestep=200,
+                                linear_start=1e-4, linear_end=2e-2)
+        rng = np.random.default_rng(3)
+        x0 = jnp.asarray(rng.uniform(-0.9, 0.9, (2, 8, 16, 1)), jnp.float32)
+
+        def oracle(x, lvl):
+            a = (lvl**2).reshape(-1, 1, 1, 1)
+            return (x - jnp.sqrt(a) * x0) / jnp.sqrt(1.0 - a)
+
+        for spacing in ("linspace", "trailing", "quad", "logsnr"):
+            for chain, kw in ((ddim_sample_chain, {"eta": 0.0}),
+                              (dpm_solver_chain, {})):
+                out = chain(sched, oracle, x0.shape, jax.random.key(1),
+                            steps=12, tau_spacing=spacing, **kw)
+                np.testing.assert_allclose(
+                    np.asarray(out), np.asarray(x0), atol=5e-3,
+                    err_msg=f"{chain.__name__} {spacing}")
