@@ -89,6 +89,12 @@ def main():
     ap.add_argument("--inner-channel", type=int, default=None,
                     help="shrink the UNet trunk (CPU smoke runs)")
     ap.add_argument("--res-blocks", type=int, default=None)
+    ap.add_argument("--pretrained-model", default=None,
+                    help="encoder pretrain checkpoint (srdiff/physrdiff need "
+                         "one to build the RRDB; --reuse-checkpoint then "
+                         "overwrites its params with the trained state)")
+    ap.add_argument("--pretrained-num-block", type=int, default=None,
+                    help="RRDB depth matching the encoder checkpoint")
     ap.add_argument("--out", default="QUALITY_r03.json")
     args = ap.parse_args()
     hr_shape = tuple(args.hr_shape)
@@ -126,6 +132,12 @@ def main():
     )
     opt["model"]["architecture"] = args.arch
     opt["model"]["unet"]["dropout"] = 0.0
+    if args.pretrained_model:
+        opt["model"]["pretrained_model"] = {
+            "model_path": args.pretrained_model, "lock_weights": True,
+        }
+        if args.pretrained_num_block:
+            opt["model"]["pretrained_model"]["num_block"] = args.pretrained_num_block
     if args.inner_channel:
         opt["model"]["unet"]["inner_channel"] = args.inner_channel
     if args.res_blocks:

@@ -55,6 +55,11 @@ def main():
                          "converge faster without it")
     ap.add_argument("--pretrained-model", default=None,
                     help="encoder checkpoint path (srdiff/physrdiff)")
+    ap.add_argument("--pretrained-num-block", type=int, default=None,
+                    help="RRDB trunk depth of the pretrained encoder "
+                         "(must match the checkpoint; default 17, the "
+                         "reference's hardcoded value)")
+    ap.add_argument("--pretrained-hidden-size", type=int, default=None)
     ap.add_argument("--config-only", action="store_true",
                     help="generate data + config, skip the training run")
     ap.add_argument("--hr-shape", type=int, nargs=2, default=(128, 256),
@@ -110,6 +115,10 @@ def main():
         opt["model"]["pretrained_model"] = {
             "model_path": args.pretrained_model, "lock_weights": True,
         }
+        if args.pretrained_num_block:
+            opt["model"]["pretrained_model"]["num_block"] = args.pretrained_num_block
+        if args.pretrained_hidden_size:
+            opt["model"]["pretrained_model"]["hidden_size"] = args.pretrained_hidden_size
     opt["data"].update(
         dataroot=str(dataroot),
         batch_size=args.batch,

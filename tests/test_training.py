@@ -54,6 +54,23 @@ def _leaves(tree):
 
 
 class TestCheckpointResume:
+    def test_rotation_keeps_newest_n(self, tmp_path):
+        # train.checkpoint_keep: long runs (200k iters, ckpt every 10k) rotate
+        # old states instead of accumulating ~1.5 GB each (beyond reference —
+        # DDPM.save_network model.py:168-193 never deletes)
+        from srewd_tpu.training.checkpoint import CheckpointManager
+
+        cm = CheckpointManager(str(tmp_path), keep=3)
+        state = {"w": np.arange(4.0)}
+        for step in range(1, 6):
+            cm.save(state, step=step * 10, epoch=step)
+        kept = [(s, e) for s, e, _ in cm.all_checkpoints()]
+        assert kept == [(30, 3), (40, 4), (50, 5)]
+        assert cm.latest().endswith("I50_E5")
+        # the survivors stay restorable
+        got = cm.restore(cm.latest(), {"w": np.zeros(4)})
+        np.testing.assert_allclose(got["w"], state["w"])
+
     def test_resume_reproduces_uninterrupted_run(self, tmp_path):
         # straight run: 5 steps
         t1 = _trainer()
