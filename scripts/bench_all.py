@@ -30,8 +30,24 @@ RUNS = [
 
 
 def main():
+    # optional arch-subset: `bench_all.py resdiff phydiff` re-measures only
+    # those rows and merges them into the existing artifact (tags without a
+    # fresh run are carried over), so a targeted refresh doesn't cost the
+    # full ~80-minute sweep
+    subset = set(sys.argv[1:])
+    runs = RUNS
+    if subset:
+        runs = [
+            c for c in RUNS
+            if (c.get("BENCH_ARCH", "sr3")
+                + (f"-{c['BENCH_SAMPLER']}{c.get('BENCH_DDIM_STEPS', '')}"
+                   if c.get("BENCH_SAMPLER") else "")) in subset
+            or c.get("BENCH_ARCH", "sr3") in subset and not c.get("BENCH_SAMPLER")
+        ]
+        if not runs:
+            sys.exit(f"no runs match {sorted(subset)}")
     results = []
-    for cfg in RUNS:
+    for cfg in runs:
         env = dict(os.environ, **cfg)
         sampler = cfg.get("BENCH_SAMPLER")
         tag = cfg.get("BENCH_ARCH", "sr3") + (
@@ -61,6 +77,11 @@ def main():
         print(f"[bench_all] {tag}: {json.dumps(entry)}", file=sys.stderr, flush=True)
 
     out_path = os.environ.get("BENCH_ALL_OUT", os.path.join(REPO, "BENCH_ARCHS.json"))
+    if subset and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = {e.get("run"): e for e in json.load(f)}
+        prior.update({e["run"]: e for e in results})
+        results = list(prior.values())
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results))

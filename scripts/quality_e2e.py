@@ -329,6 +329,12 @@ def main():
 
     out = {
         "arch": args.arch,
+        "metrics_note": (
+            "RMSE/MAE/MR are the stable cross-run columns (Kelvin). "
+            "PSNR/SSIM keep the reference's streaming semantics "
+            "(training/metrics.py:7-13): data_range derives from the "
+            "predictions, so they are parity-faithful but noisy across runs."
+        ),
         "spectrum": args.spectrum,
         "tau_spacing": sp,
         "ddim_eta": args.eta,

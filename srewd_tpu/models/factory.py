@@ -232,6 +232,21 @@ class DiffusionModel:
                 lambda x: x.astype(cdt) if x.dtype == jnp.float32 else x, unet_params
             )
 
+        # Hoist the remaining scan-invariant conditioning out of the chain
+        # (the DWT pyramid / RRDB features already are, via _unet_inputs):
+        # the FD spliter's frequency features (FFT -> SE high-pass -> |IFFT|)
+        # and phydiff's stencil maps depend only on `cond` — the reference
+        # recomputes both on every one of the T UNet calls
+        # (resdiff/fd_info_spliter.py:49-96, phydiff/unet.py:311-314).
+        if self.arch in ("resdiff", "physrdiff"):
+            kwargs["cond_feats"] = self.unet.apply(
+                {"params": unet_params}, cond, cond_features_only=True
+            )
+        elif self.arch == "phydiff":
+            from ..ops.finite_diff import fd_stencils
+
+            kwargs["fd_maps"] = fd_stencils(cond)
+
         def denoise_fn(x_t, noise_level):
             # mirror _unet_inputs: srdiff and unconditional sr3 see only x_t
             if self.arch == "srdiff" or not self.conditional:

@@ -100,10 +100,13 @@ class WeatherUNet(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        noise_level: jnp.ndarray,
+        noise_level: Optional[jnp.ndarray] = None,
         *,
         rrdb_feats: Optional[jnp.ndarray] = None,
         dwt_pyramid: Optional[Sequence[jnp.ndarray]] = None,
+        cond_feats: Optional[tuple] = None,
+        fd_maps: Optional[jnp.ndarray] = None,
+        cond_features_only: bool = False,
         train: bool = False,
     ) -> jnp.ndarray:
         """Denoise.
@@ -116,9 +119,22 @@ class WeatherUNet(nn.Module):
                      (srdiff/physrdiff), see project_rrdb_features.
         dwt_pyramid  per-level HF query images (resdiff/phydiff/physrdiff);
                      computed from x's condition channels when None.
+        cond_feats   precomputed FD-spliter (lf, hf) features — constant
+                     across a sampling chain, see FDInfoSpliter.
+        fd_maps      precomputed phydiff stencil maps of the condition
+                     (ops.finite_diff.fd_stencils) — same hoisting.
+        cond_features_only  `x` is the bare condition image; return the
+                     spliter's scan-invariant (lf, hf) pair and nothing else
+                     (resdiff/physrdiff samplers call this once per chain).
         """
         if self.variant not in _VARIANTS:
             raise ValueError(f"unknown variant {self.variant}")
+        if cond_features_only:
+            return FDInfoSpliter(
+                image_channels=self.image_channels,
+                out_channels=self.out_channel,
+                dtype=self.dtype,
+            )(x, cond_only=True)
         uses_ca = self.variant in ("resdiff", "phydiff", "physrdiff")
         uses_spliter = self.variant in ("resdiff", "physrdiff")
         uses_rrdb = self.variant in ("srdiff", "physrdiff")
@@ -151,10 +167,12 @@ class WeatherUNet(nn.Module):
         if uses_spliter:
             x = FDInfoSpliter(
                 image_channels=c_img, out_channels=self.out_channel, dtype=self.dtype
-            )(x, t)
+            )(x, t, cond_feats=cond_feats)
         elif self.variant == "phydiff":
-            # 3 fixed physics stencil maps of the condition (phydiff/unet.py:311-314).
-            x = jnp.concatenate([x, fd_stencils(x[..., :c_img])], axis=-1)
+            # 3 fixed physics stencil maps of the condition (phydiff/unet.py:311-314);
+            # precomputed (hoisted out of the sampling scan) when fd_maps given.
+            maps = fd_maps if fd_maps is not None else fd_stencils(x[..., :c_img])
+            x = jnp.concatenate([x, maps.astype(x.dtype)], axis=-1)
 
         num_mults = len(self.channel_mults)
         now_res = self.image_height

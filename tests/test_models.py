@@ -116,3 +116,33 @@ def test_unconditional_sample_and_loss():
     p2 = cond_model.init(jax.random.key(0), batch)
     with pytest.raises(ValueError):
         cond_model.sample(p2, 2, jax.random.key(2), sched)
+
+
+@pytest.mark.parametrize("arch", ["resdiff", "phydiff", "physrdiff"])
+def test_hoisted_cond_features_bitwise(arch):
+    """Scan-invariant conditioning hoisting is exact.
+
+    generate_sr computes the FD-spliter frequency features (resdiff/
+    physrdiff) and the phydiff stencil maps ONCE per chain instead of per
+    UNet call (the reference recomputes them every step,
+    resdiff/fd_info_spliter.py:49-96, phydiff/unet.py:311-314). The hoisted
+    call must be bitwise-identical to the inline recompute.
+    """
+    from srewd_tpu.ops.finite_diff import fd_stencils
+
+    model = _model(arch)
+    batch = _batch()
+    params = model.init(jax.random.key(0), batch)
+    cond = model.condition(params, batch)
+    xt = jnp.asarray(np.random.default_rng(3).standard_normal(cond.shape), jnp.float32)
+    nl = jnp.full((B,), 0.7, jnp.float32)
+    x_in, kwargs = model._unet_inputs(params, batch, cond, xt)
+    up = {"params": params["unet"]}
+
+    y_inline = model.unet.apply(up, x_in, nl, **kwargs)
+    if arch == "phydiff":
+        kwargs["fd_maps"] = fd_stencils(cond)
+    else:
+        kwargs["cond_feats"] = model.unet.apply(up, cond, cond_features_only=True)
+    y_hoisted = model.unet.apply(up, x_in, nl, **kwargs)
+    assert float(jnp.max(jnp.abs(y_inline - y_hoisted))) == 0.0
