@@ -215,9 +215,18 @@ def main():
             trainer.ema_params = None
         print(f"[train] skipped — reusing {args.reuse_params}", flush=True)
     else:
+        from srewd_tpu.data.device_cache import DeviceDataset
+
+        # HBM-resident train split (data/device_cache.py): one upload, then
+        # per-step batches are on-device gathers — dispatch-only host work,
+        # which matters doubly on this 1-core host / tunnelled backend
+        cache = DeviceDataset(dh, "train")
+        print(f"[train] device cache {cache.nbytes / 1e6:.0f} MB "
+              f"({len(cache.months)} fields)", flush=True)
         step, epoch = 0, 0
         while step < args.iters:
-            for batch in dh.train_batches(epoch):
+            batches = cache.batches(epoch)
+            for batch in batches:
                 pending.append(trainer.train_on_batch_async(batch))
                 step += 1
                 if len(pending) >= 100:

@@ -69,6 +69,9 @@ def main():
     ap.add_argument("--res-blocks", type=int, default=None)
     ap.add_argument("--platform", default=None,
                     help="forwarded to train.py (e.g. cpu)")
+    ap.add_argument("--no-device-cache", action="store_true",
+                    help="stream batches from host instead of caching the "
+                         "normalized train split in HBM (data/device_cache.py)")
     args = ap.parse_args()
 
     work = Path(args.workdir)
@@ -102,6 +105,10 @@ def main():
         hourly_range(args.data_min, args.data_max)).tolist()))
     opt["name"] = f"{args.arch}_refscale_{args.iters // 1000}k"
     opt["path"]["experiments_folder_path"] = str(work / "experiments")
+    # preemption recovery: a relaunch of the same command resumes from the
+    # newest I{iter}_E{epoch} checkpoint of this experiment name (config.py
+    # _find_latest_checkpoint); first launch finds none and starts fresh
+    opt["path"]["resume_state"] = "auto"
     opt["model"]["architecture"] = args.arch
     opt["model"]["unet"]["dropout"] = args.dropout
     if args.inner_channel:
@@ -138,6 +145,7 @@ def main():
         print_freq=args.print_freq,
         save_visualizations=True,
         checkpoint_keep=args.checkpoint_keep,
+        device_data_cache=not args.no_device_cache,
         ema_scheduler={
             # reference example values (parsed-but-unused there; functional
             # here) + the use_for_val extension so val logs track the EMA

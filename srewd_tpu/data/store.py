@@ -296,6 +296,19 @@ def make_synthetic_weatherbench(
     """
     from .timeindex import hourly_range, months_of
 
+    # idempotence: a tree generated with identical parameters is reused
+    # (generation is deterministic in `seed`, so the contents match too)
+    import json as _json
+
+    spec = _json.dumps({
+        "min": min_date, "max": max_date, "variables": list(variables),
+        "lr": list(lr_shape), "hr": list(hr_shape), "seed": seed,
+        "base": base_kelvin, "constants": list(constants), "spectrum": spectrum,
+    }, sort_keys=True)
+    marker = os.path.join(root, ".synthetic_spec.json")
+    if os.path.exists(marker) and open(marker).read() == spec:
+        return root
+
     rng = np.random.default_rng(seed)
     ts = hourly_range(min_date, max_date)
     n = len(ts)
@@ -339,4 +352,6 @@ def make_synthetic_weatherbench(
         const_lr = const_hr.reshape(lh, hh // lh, lw, hw // lw).mean(axis=(1, 3))
         write_constant_variable(os.path.join(root, "hr"), var, const_hr, lat_hr, lon_hr)
         write_constant_variable(os.path.join(root, "lr"), var, const_lr, lat_lr, lon_lr)
+    with open(marker, "w") as f:
+        f.write(spec)
     return root

@@ -333,12 +333,30 @@ def run_training(
             train_metrics.update({"l_pix": float(v)})
         pending.clear()
 
+    # train.device_data_cache: upload the normalized train split to HBM once
+    # and serve each step as an on-device gather (data/device_cache.py) —
+    # per-step host->device traffic drops to the index vector, so throughput
+    # is invariant to PCIe/tunnel bandwidth. Opt-in: the split must fit next
+    # to the training state (~0.53 MB/field fp32 at 128x256).
+    device_cache = None
+    if tcfg.get("device_data_cache") and jax.process_count() == 1:
+        from ..data.device_cache import DeviceDataset
+
+        device_cache = DeviceDataset(data_handler, "train")
+        logger.info(
+            f"Device data cache: {device_cache.nbytes / 1e6:.0f} MB "
+            f"({len(device_cache.months)} fields) resident in HBM."
+        )
+
     while trainer.step < n_iter:
         trainer.epoch += 1
-        # assemble + device_put the next batches in a background thread
-        batches = DevicePrefetcher(
-            data_handler.train_batches(epoch=trainer.epoch), trainer._device_batch
-        )
+        if device_cache is not None:
+            batches = device_cache.batches(epoch=trainer.epoch)
+        else:
+            # assemble + device_put the next batches in a background thread
+            batches = DevicePrefetcher(
+                data_handler.train_batches(epoch=trainer.epoch), trainer._device_batch
+            )
         for batch in batches:
             if trainer.step >= n_iter:
                 break

@@ -553,3 +553,47 @@ class TestDisjointDateRanges:
         # batches assemble across the disjoint spans
         batch = next(iter(dh1.train_batches(0)))
         assert batch["HR"].shape == (2, 32, 64, 1)
+
+
+class TestDeviceDataset:
+    """HBM-resident split cache (data/device_cache.py): batch stream must be
+    bit-identical to DataHandler's streaming path — same seeded per-epoch
+    shuffle, same drop_last, same month-keyed normalization."""
+
+    def test_matches_streaming_batches(self, dataroot):
+        from srewd_tpu.data.device_cache import DeviceDataset
+
+        dh = DataHandler(
+            dataroot=dataroot, variables=["t2m"],
+            months_subset=[12, 1], groups=[[12], [1]],
+            train_min_date="2016-12-25-00", train_max_date="2017-01-02-00",
+            val_min_date="2017-01-05-00", val_max_date="2017-01-06-00",
+            train_batch_size=4,
+        ).process_data()
+        cache = DeviceDataset(dh, "train", chunk=7)  # non-divisor chunk
+        assert cache.nbytes > 0
+        for epoch in (0, 1):
+            stream = list(dh.train_batches(epoch=epoch))
+            cached = list(cache.batches(epoch=epoch))
+            assert len(stream) == len(cached)
+            for s, c in zip(stream, cached):
+                np.testing.assert_array_equal(s["HR"], np.asarray(c["HR"]))
+                np.testing.assert_array_equal(s["LR"], np.asarray(c["LR"]))
+                np.testing.assert_array_equal(s["months"], c["months"])
+
+    def test_val_split_unshuffled(self, dataroot):
+        from srewd_tpu.data.device_cache import DeviceDataset
+
+        dh = DataHandler(
+            dataroot=dataroot, variables=["t2m"],
+            months_subset=[12, 1], groups=[[12], [1]],
+            train_min_date="2016-12-25-00", train_max_date="2017-01-02-00",
+            val_min_date="2017-01-05-00", val_max_date="2017-01-07-00",
+            train_batch_size=4, val_batch_size=8,
+        ).process_data()
+        cache = DeviceDataset(dh, "val")
+        stream = list(dh.val_batches())
+        cached = list(cache.batches(epoch=3))  # epoch ignored when unshuffled
+        assert len(stream) == len(cached)
+        for s, c in zip(stream, cached):
+            np.testing.assert_array_equal(s["HR"], np.asarray(c["HR"]))
