@@ -299,6 +299,43 @@ def main():
     print(f"[eval:bicubic] {bic}", flush=True)
 
     sp = args.spacing
+    rows = {}
+
+    def write_out(partial: bool) -> dict:
+        # incremental flush: a killed run still leaves every completed row
+        # on disk (chip runs share the round's wall-clock budget)
+        out = {
+            "arch": args.arch,
+            "partial": partial,
+            "metrics_note": (
+                "RMSE/MAE/MR are the stable cross-run columns (Kelvin). "
+                "PSNR/SSIM keep the reference's streaming semantics "
+                "(training/metrics.py:7-13): data_range derives from the "
+                "predictions, so they are parity-faithful but noisy across "
+                "runs."
+            ),
+            "spectrum": args.spectrum,
+            "tau_spacing": sp,
+            "ddim_eta": args.eta,
+            "train_range": [args.train_min, args.train_max],
+            "val_range": [args.val_min, args.val_max],
+            "reused": args.reuse_checkpoint or args.reuse_params,
+            "iters": args.iters,
+            "batch": args.batch,
+            "val_fields": args.val_batches * args.batch,
+            "train_wall_sec": round(train_wall, 1),
+            "train_steps_per_sec": round(args.iters / max(train_wall, 1e-9), 2),
+            "train_loss_mean100": loss_log,
+            "bicubic": {"metrics": bic},
+            "samplers": rows,
+            "rmse_vs_bicubic": {
+                label: round(r["metrics"]["RMSE"] / bic["RMSE"], 4)
+                for label, r in rows.items()
+            },
+        }
+        Path(args.out).write_text(json.dumps(out, indent=1) + "\n")
+        return out
+
     samplers = {
         f"ddpm-{args.tval}": {},
         f"ddim-{args.ddim_steps}": {"sampler": "ddim", "ddim_steps": args.ddim_steps,
@@ -310,17 +347,19 @@ def main():
     # (diffusion.py:168-169 — saturates sigma-scaled fields beyond +-1 sigma)
     # vs the config extension model.diffusion.clip_denoised=false
     variants = set(args.variants.split(","))
-    rows = {}
     for label, kw in samplers.items():
         if "clip" in variants:
             rows[label] = eval_sampler(label, kw)
+            write_out(partial=True)
         if "noclip" in variants:
             rows[label + "-noclip"] = eval_sampler(
                 label + "-noclip", {**kw, "clip_denoised": False})
+            write_out(partial=True)
         if "ema" in variants and trainer.ema_params is not None:
             rows[label + "-noclip-ema"] = eval_sampler(
                 label + "-noclip-ema", {**kw, "clip_denoised": False},
                 use_ema=True)
+            write_out(partial=True)
 
     if args.sweep_fast and trainer.ema_params is not None:
         # EMA-noclip grid over the fast samplers: pins which timestep spacing
@@ -341,35 +380,9 @@ def main():
             rows[label + "-noclip-ema"] = eval_sampler(
                 label + "-noclip-ema", {**kw, "clip_denoised": False},
                 use_ema=True)
+            write_out(partial=True)
 
-    out = {
-        "arch": args.arch,
-        "metrics_note": (
-            "RMSE/MAE/MR are the stable cross-run columns (Kelvin). "
-            "PSNR/SSIM keep the reference's streaming semantics "
-            "(training/metrics.py:7-13): data_range derives from the "
-            "predictions, so they are parity-faithful but noisy across runs."
-        ),
-        "spectrum": args.spectrum,
-        "tau_spacing": sp,
-        "ddim_eta": args.eta,
-        "train_range": [args.train_min, args.train_max],
-        "val_range": [args.val_min, args.val_max],
-        "reused": args.reuse_checkpoint or args.reuse_params,
-        "iters": args.iters,
-        "batch": args.batch,
-        "val_fields": args.val_batches * args.batch,
-        "train_wall_sec": round(train_wall, 1),
-        "train_steps_per_sec": round(args.iters / train_wall, 2),
-        "train_loss_mean100": loss_log,
-        "bicubic": {"metrics": bic},
-        "samplers": rows,
-        "rmse_vs_bicubic": {
-            label: round(r["metrics"]["RMSE"] / bic["RMSE"], 4)
-            for label, r in rows.items()
-        },
-    }
-    Path(args.out).write_text(json.dumps(out, indent=1) + "\n")
+    out = write_out(partial=False)
     print(json.dumps(out["rmse_vs_bicubic"]))
     print(f"QUALITY OK -> {args.out}")
 
