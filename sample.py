@@ -56,6 +56,11 @@ def main():
                              "dpm = DPM-Solver++(2M), --ddim-steps is its step count)")
     parser.add_argument("--ddim-steps", type=int, default=50)
     parser.add_argument("--ddim-eta", type=float, default=0.0)
+    parser.add_argument("--spacing", type=str, default=None,
+                        choices=["linspace", "trailing", "quad", "logsnr"],
+                        help="fast-sampler timestep spacing "
+                             "(gaussian.select_taus; QUALITY_r04 sweeps "
+                             "pin the best choice per arch)")
     parser.add_argument("--no-clip-denoised", action="store_true",
                         help="disable the reference's x0 clamp to [-1,1] "
                              "(model.diffusion.clip_denoised=false): the clamp "
@@ -119,6 +124,8 @@ def main():
         opt["model"].setdefault("diffusion", {}).update(
             sampler=args.sampler, ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta
         )
+    if args.spacing:
+        opt["model"].setdefault("diffusion", {})["tau_spacing"] = args.spacing
     if args.no_clip_denoised:
         opt["model"].setdefault("diffusion", {})["clip_denoised"] = False
 

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--use-ema", action="store_true")
     ap.add_argument("--sampler", choices=["ddpm", "ddim", "dpm"], default=None)
     ap.add_argument("--ddim-steps", type=int, default=50)
+    ap.add_argument("--ddim-eta", type=float, default=0.0)
+    ap.add_argument("--spacing", default=None,
+                    choices=["linspace", "trailing", "quad", "logsnr"],
+                    help="fast-sampler timestep spacing (gaussian.select_taus)")
     ap.add_argument("--no-clip-denoised", action="store_true")
     ap.add_argument("--static-batch", type=int, default=None,
                     help="export for ONE fixed batch size instead of the "
@@ -62,7 +66,10 @@ def main():
         opt["path"]["resume_state"] = args.model_path
     overrides = {}
     if args.sampler:
-        overrides.update(sampler=args.sampler, ddim_steps=args.ddim_steps)
+        overrides.update(sampler=args.sampler, ddim_steps=args.ddim_steps,
+                         ddim_eta=args.ddim_eta)
+    if args.spacing:
+        overrides["tau_spacing"] = args.spacing
     if args.no_clip_denoised:
         overrides["clip_denoised"] = False
     if overrides:

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--use-ema", action="store_true")
     ap.add_argument("--sampler", choices=["ddpm", "ddim", "dpm"], default=None)
     ap.add_argument("--ddim-steps", type=int, default=50)
+    ap.add_argument("--ddim-eta", type=float, default=0.0)
+    ap.add_argument("--spacing", default=None,
+                    choices=["linspace", "trailing", "quad", "logsnr"],
+                    help="fast-sampler timestep spacing (gaussian.select_taus)")
     ap.add_argument("--no-clip-denoised", action="store_true",
                     help="disable the reference's x0 clamp to [-1,1] "
                          "(saturates standard-scaled fields beyond +-1 sigma)")
@@ -53,7 +57,10 @@ def main():
 
     overrides = {}
     if args.sampler:
-        overrides.update(sampler=args.sampler, ddim_steps=args.ddim_steps)
+        overrides.update(sampler=args.sampler, ddim_steps=args.ddim_steps,
+                         ddim_eta=args.ddim_eta)
+    if args.spacing:
+        overrides["tau_spacing"] = args.spacing
     if args.no_clip_denoised:
         overrides["clip_denoised"] = False
     service = SamplerService.from_checkpoint(
