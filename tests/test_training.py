@@ -426,6 +426,21 @@ class TestBuildTrainerSamplerConfig:
         sr = tr.sample_batch(_batch(1))
         assert sr.shape == (B, H, W, 1)
 
+    def test_tau_spacing_and_eta_reach_sampler(self):
+        # tau_spacing/ddim_eta config keys (cli.py:68-77) — the knobs the
+        # QUALITY_r04 fast-sampler sweep turns; every inference CLI
+        # (sample/serve/export) writes them into model.diffusion
+        from srewd_tpu.cli import build_trainer
+
+        tr = build_trainer(
+            self._opt({"sampler": "ddim", "ddim_steps": 4,
+                       "ddim_eta": 1.0, "tau_spacing": "trailing"}),
+            _batch(0))
+        assert tr.sampler_kwargs["tau_spacing"] == "trailing"
+        assert tr.sampler_kwargs["ddim_eta"] == 1.0
+        sr = tr.sample_batch(_batch(1))
+        assert sr.shape == (B, H, W, 1)
+
 
 class TestFinetuneNorm:
     """finetune_norm (reference model.py:31-44, :208-209): only norm-affine
