@@ -54,8 +54,12 @@ def main():
     parser.add_argument("--sampler", type=str, choices=["ddpm", "ddim", "dpm"], default=None,
                         help="override model.diffusion.sampler (ddim/dpm = fast; "
                              "dpm = DPM-Solver++(2M), --ddim-steps is its step count)")
-    parser.add_argument("--ddim-steps", type=int, default=50)
-    parser.add_argument("--ddim-eta", type=float, default=0.0)
+    parser.add_argument("--ddim-steps", type=int, default=None,
+                        help="fast-sampler step count (config default: 50); "
+                             "applies even without --sampler")
+    parser.add_argument("--ddim-eta", type=float, default=None,
+                        help="DDIM stochasticity (config default: 0.0); "
+                             "applies even without --sampler")
     parser.add_argument("--spacing", type=str, default=None,
                         choices=["linspace", "trailing", "quad", "logsnr"],
                         help="fast-sampler timestep spacing "
@@ -121,9 +125,11 @@ def main():
     dh = build_data_handler(opt, **overrides)
 
     if args.sampler:
-        opt["model"].setdefault("diffusion", {}).update(
-            sampler=args.sampler, ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta
-        )
+        opt["model"].setdefault("diffusion", {})["sampler"] = args.sampler
+    if args.ddim_steps is not None:
+        opt["model"].setdefault("diffusion", {})["ddim_steps"] = args.ddim_steps
+    if args.ddim_eta is not None:
+        opt["model"].setdefault("diffusion", {})["ddim_eta"] = args.ddim_eta
     if args.spacing:
         opt["model"].setdefault("diffusion", {})["tau_spacing"] = args.spacing
     if args.no_clip_denoised:

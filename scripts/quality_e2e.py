@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import tempfile
 import time
@@ -314,6 +315,15 @@ def main():
                 "predictions, so they are parity-faithful but noisy across "
                 "runs."
             ),
+            "accuracy_gate_note": (
+                "BASELINE.md's <=1e-3-vs-reference accuracy gate is "
+                "discharged by the bit-level chain-parity and "
+                "converted-checkpoint tests "
+                "(tests/test_parity_reference.py, "
+                "tests/test_parity_production.py), not by this artifact; "
+                "bicubic interpolation is the trained-quality baseline here "
+                "(the torch reference cannot train in this environment)."
+            ),
             "spectrum": args.spectrum,
             "tau_spacing": sp,
             "ddim_eta": args.eta,
@@ -328,12 +338,17 @@ def main():
             "train_loss_mean100": loss_log,
             "bicubic": {"metrics": bic},
             "samplers": rows,
-            "rmse_vs_bicubic": {
-                label: round(r["metrics"]["RMSE"] / bic["RMSE"], 4)
-                for label, r in rows.items()
-            },
+            # sorted best-first so the leading row is the headline number
+            "rmse_vs_bicubic": dict(sorted(
+                ((label, round(r["metrics"]["RMSE"] / bic["RMSE"], 4))
+                 for label, r in rows.items()),
+                key=lambda kv: kv[1],
+            )),
         }
-        Path(args.out).write_text(json.dumps(out, indent=1) + "\n")
+        # atomic flush: a kill mid-write must not truncate the artifact
+        tmp = Path(args.out).with_suffix(".tmp")
+        tmp.write_text(json.dumps(out, indent=1) + "\n")
+        os.replace(tmp, args.out)
         return out
 
     samplers = {
@@ -347,6 +362,7 @@ def main():
     # (diffusion.py:168-169 — saturates sigma-scaled fields beyond +-1 sigma)
     # vs the config extension model.diffusion.clip_denoised=false
     variants = set(args.variants.split(","))
+    seen_ema = {}  # frozen sampler kwargs -> row label, for sweep dedup
     for label, kw in samplers.items():
         if "clip" in variants:
             rows[label] = eval_sampler(label, kw)
@@ -356,9 +372,10 @@ def main():
                 label + "-noclip", {**kw, "clip_denoised": False})
             write_out(partial=True)
         if "ema" in variants and trainer.ema_params is not None:
+            ekw = {**kw, "clip_denoised": False}
             rows[label + "-noclip-ema"] = eval_sampler(
-                label + "-noclip-ema", {**kw, "clip_denoised": False},
-                use_ema=True)
+                label + "-noclip-ema", ekw, use_ema=True)
+            seen_ema[frozenset(ekw.items())] = label + "-noclip-ema"
             write_out(partial=True)
 
     if args.sweep_fast and trainer.ema_params is not None:
@@ -377,9 +394,16 @@ def main():
                     "sampler": "dpm", "ddim_steps": steps,
                     "tau_spacing": spacing}
         for label, kw in grid.items():
+            ekw = {**kw, "clip_denoised": False}
+            key = frozenset(ekw.items())
+            if key in seen_ema:
+                # identical to an already-evaluated header row — don't re-run
+                # and re-store the same sampler config byte-for-byte
+                print(f"[sweep] skip {label} (== {seen_ema[key]})", flush=True)
+                continue
             rows[label + "-noclip-ema"] = eval_sampler(
-                label + "-noclip-ema", {**kw, "clip_denoised": False},
-                use_ema=True)
+                label + "-noclip-ema", ekw, use_ema=True)
+            seen_ema[key] = label + "-noclip-ema"
             write_out(partial=True)
 
     out = write_out(partial=False)

@@ -34,8 +34,12 @@ def main():
     ap.add_argument("--linger-ms", type=float, default=5.0)
     ap.add_argument("--use-ema", action="store_true")
     ap.add_argument("--sampler", choices=["ddpm", "ddim", "dpm"], default=None)
-    ap.add_argument("--ddim-steps", type=int, default=50)
-    ap.add_argument("--ddim-eta", type=float, default=0.0)
+    ap.add_argument("--ddim-steps", type=int, default=None,
+                    help="fast-sampler step count (config default: 50); "
+                         "applies even without --sampler")
+    ap.add_argument("--ddim-eta", type=float, default=None,
+                    help="DDIM stochasticity (config default: 0.0); "
+                         "applies even without --sampler")
     ap.add_argument("--spacing", default=None,
                     choices=["linspace", "trailing", "quad", "logsnr"],
                     help="fast-sampler timestep spacing (gaussian.select_taus)")
@@ -57,8 +61,11 @@ def main():
 
     overrides = {}
     if args.sampler:
-        overrides.update(sampler=args.sampler, ddim_steps=args.ddim_steps,
-                         ddim_eta=args.ddim_eta)
+        overrides["sampler"] = args.sampler
+    if args.ddim_steps is not None:
+        overrides["ddim_steps"] = args.ddim_steps
+    if args.ddim_eta is not None:
+        overrides["ddim_eta"] = args.ddim_eta
     if args.spacing:
         overrides["tau_spacing"] = args.spacing
     if args.no_clip_denoised:

@@ -98,7 +98,14 @@ def build_trainer(opt: dict, example_batch: dict, dtype=None) -> DiffusionTraine
             if opt.get("train", {}).get("checkpoint_keep") else None
         ),
     )
+    import logging as _logging
+
+    _logging.getLogger("base").info(
+        "Initializing parameters on device (first compile — slow on a cold "
+        "or congested axon link)."
+    )
     trainer.init_params(example_batch)
+    _logging.getLogger("base").info("Parameters initialized.")
 
     pre = opt["model"].get("pretrained_model") or {}
     if pre.get("model_path") and trainer.model.encoder is not None:
