@@ -93,6 +93,9 @@ def main():
                     help="EMA start step (default iters//2)")
     ap.add_argument("--variants", default="clip,noclip,ema",
                     help="comma subset of clip,noclip,ema eval rows")
+    ap.add_argument("--samplers", default="ddpm,ddim,dpm",
+                    help="comma subset of the header sampler rows (the "
+                         "ddpm-1000 chain is unaffordable on CPU probes)")
     ap.add_argument("--inner-channel", type=int, default=None,
                     help="shrink the UNet trunk (CPU smoke runs)")
     ap.add_argument("--res-blocks", type=int, default=None)
@@ -351,6 +354,7 @@ def main():
         os.replace(tmp, args.out)
         return out
 
+    wanted = set(args.samplers.split(","))
     samplers = {
         f"ddpm-{args.tval}": {},
         f"ddim-{args.ddim_steps}": {"sampler": "ddim", "ddim_steps": args.ddim_steps,
@@ -358,6 +362,8 @@ def main():
         f"dpm-{args.dpm_steps}": {"sampler": "dpm", "ddim_steps": args.dpm_steps,
                                   "tau_spacing": sp},
     }
+    samplers = {k: v for k, v in samplers.items()
+                if (v.get("sampler") or "ddpm") in wanted}
     # two variants per sampler: the reference's always-on x0 clamp to [-1,1]
     # (diffusion.py:168-169 — saturates sigma-scaled fields beyond +-1 sigma)
     # vs the config extension model.diffusion.clip_denoised=false

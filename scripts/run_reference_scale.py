@@ -50,6 +50,12 @@ def main():
     ap.add_argument("--save-freq", type=int, default=10000)
     ap.add_argument("--print-freq", type=int, default=500)
     ap.add_argument("--checkpoint-keep", type=int, default=3)
+    ap.add_argument("--ema-decay", type=float, default=0.9999,
+                    help="reference recipe is 0.9999, which needs >=50k "
+                         "steps past --ema-start to converge onto the "
+                         "trajectory; short runs (<50k iters) should use "
+                         "0.999 or the EMA rows will lag the raw weights")
+    ap.add_argument("--ema-start", type=int, default=5000)
     ap.add_argument("--dropout", type=float, default=0.0,
                     help="the reference example uses 0.2; synthetic runs "
                          "converge faster without it")
@@ -150,9 +156,9 @@ def main():
             # reference example values (parsed-but-unused there; functional
             # here) + the use_for_val extension so val logs track the EMA
             "enabled": True,
-            "step_start_ema": 5000,
+            "step_start_ema": args.ema_start,
             "update_ema_every": 1,
-            "ema_decay": 0.9999,
+            "ema_decay": args.ema_decay,
             "use_for_val": True,
         },
     )
