@@ -96,6 +96,11 @@ def main():
     ap.add_argument("--samplers", default="ddpm,ddim,dpm",
                     help="comma subset of the header sampler rows (the "
                          "ddpm-1000 chain is unaffordable on CPU probes)")
+    ap.add_argument("--ensemble-row", type=int, default=0,
+                    help="if >0, add a ddpm-noclip-ema ensemble-mean row "
+                         "averaging N independent chains per batch (the "
+                         "conditional mean is the RMSE-optimal point "
+                         "predictor; sample.py --ensemble at serving time)")
     ap.add_argument("--inner-channel", type=int, default=None,
                     help="shrink the UNet trunk (CPU smoke runs)")
     ap.add_argument("--res-blocks", type=int, default=None)
@@ -272,7 +277,7 @@ def main():
             yield i, batch
 
     def eval_sampler(label: str, sampler_kwargs: dict,
-                     use_ema: bool = False) -> dict:
+                     use_ema: bool = False, ensemble: int = 1) -> dict:
         if trainer.sampler_kwargs != dict(sampler_kwargs):
             trainer.sampler_kwargs = dict(sampler_kwargs)
             trainer._build_steps()  # rebuild _sample_val with the new sampler
@@ -280,7 +285,14 @@ def main():
         vm = ValidationMetrics(create_metric_dict())
         te = time.time()
         for i, batch in val_batches():
-            sr = trainer.sample_batch(batch, fold=i + 1, use_ema=use_ema)
+            if ensemble > 1:
+                sr = np.mean([
+                    np.asarray(trainer.sample_batch(
+                        batch, fold=(i + 1) * 131 + e, use_ema=use_ema))
+                    for e in range(ensemble)
+                ], axis=0)
+            else:
+                sr = trainer.sample_batch(batch, fold=i + 1, use_ema=use_ema)
             inv = dh.inverse_transform(
                 {"SR": np.asarray(sr), "HR": np.asarray(batch["HR"])},
                 batch["months"],
@@ -383,6 +395,14 @@ def main():
                 label + "-noclip-ema", ekw, use_ema=True)
             seen_ema[frozenset(ekw.items())] = label + "-noclip-ema"
             write_out(partial=True)
+
+    if args.ensemble_row > 1 and trainer.ema_params is not None \
+            and "ddpm" in wanted:
+        n = args.ensemble_row
+        rows[f"ddpm-{args.tval}-noclip-ema-ens{n}"] = eval_sampler(
+            f"ddpm-{args.tval}-noclip-ema-ens{n}",
+            {"clip_denoised": False}, use_ema=True, ensemble=n)
+        write_out(partial=True)
 
     if args.sweep_fast and trainer.ema_params is not None:
         # EMA-noclip grid over the fast samplers: pins which timestep spacing

@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--pretrain-batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=30000)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--ema-decay", type=float, default=0.999,
+                    help="diffusion-stage EMA decay; the reference's 0.9999 "
+                         "needs >=50k steps to converge, so the short "
+                         "pipeline default is the faster 0.999 window")
+    ap.add_argument("--ema-start", type=int, default=None,
+                    help="diffusion-stage EMA start (default iters//2)")
     ap.add_argument("--num-block", type=int, default=17)
     ap.add_argument("--spectrum", default="t2m")
     ap.add_argument("--data-min", default="2017-01-01-00")
@@ -136,6 +142,9 @@ def main():
         "--hr-shape", str(args.hr_shape[0]), str(args.hr_shape[1]),
         "--pretrained-model", str(enc_ckpt),
         "--pretrained-num-block", str(args.num_block),
+        "--ema-decay", str(args.ema_decay),
+        "--ema-start", str(args.ema_start if args.ema_start is not None
+                           else args.iters // 2),
     ]
     if args.inner_channel:
         cmd += ["--inner-channel", str(args.inner_channel)]
