@@ -116,8 +116,6 @@ def main():
     lr_shape = (hr_shape[0] // 4, hr_shape[1] // 4)
 
     if args.platform:
-        import os
-
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax
 
