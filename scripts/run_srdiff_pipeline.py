@@ -49,6 +49,9 @@ def main():
                          "pipeline default is the faster 0.999 window")
     ap.add_argument("--ema-start", type=int, default=None,
                     help="diffusion-stage EMA start (default iters//2)")
+    ap.add_argument("--val-freq", type=int, default=None,
+                    help="diffusion-stage val/ckpt cadence "
+                         "(default min(10000, iters))")
     ap.add_argument("--num-block", type=int, default=17)
     ap.add_argument("--spectrum", default="t2m")
     ap.add_argument("--data-min", default="2017-01-01-00")
@@ -137,8 +140,8 @@ def main():
         "--data-min", args.data_min, "--data-max", args.data_max,
         "--train-min", args.train_min, "--train-max", args.train_max,
         "--val-min", args.val_min, "--val-max", args.val_max,
-        "--val-freq", str(min(10000, args.iters)),
-        "--save-freq", str(min(10000, args.iters)),
+        "--val-freq", str(args.val_freq or min(10000, args.iters)),
+        "--save-freq", str(args.val_freq or min(10000, args.iters)),
         "--hr-shape", str(args.hr_shape[0]), str(args.hr_shape[1]),
         "--pretrained-model", str(enc_ckpt),
         "--pretrained-num-block", str(args.num_block),

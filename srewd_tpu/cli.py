@@ -69,7 +69,12 @@ def build_trainer(opt: dict, example_batch: dict, dtype=None) -> DiffusionTraine
         sampler_kwargs = {
             "sampler": dcfg["sampler"],
             "ddim_steps": int(dcfg.get("ddim_steps", 50)),
-            "ddim_eta": float(dcfg.get("ddim_eta", 0.0)),
+            # default eta=1 (ancestral-like): the measured winner on a
+            # trained checkpoint — QUALITY_r05.json's sweep has every eta=1
+            # row at DDPM-chain quality (ddim-50-trailing-eta1 0.843x
+            # bicubic vs the 1000-step chain's 0.852x) while every eta=0 /
+            # dpm row sits ~1.18x. Set ddim_eta explicitly to override.
+            "ddim_eta": float(dcfg.get("ddim_eta", 1.0)),
         }
         if dcfg.get("tau_spacing"):
             # fast-sampler timestep spacing (gaussian.select_taus):

@@ -359,6 +359,11 @@ def build_model(model_cfg: dict, dtype=None) -> DiffusionModel:
             nb=int(pre_cfg.get("num_block", 17)),
             gc=int(pre_cfg.get("hidden_size", 64)) // 2,
             dtype=dtype,
+            # conditioning consumes the pre-clamp feature taps either way;
+            # the SR head feeds the trainable-encoder aux loss against
+            # sigma-scaled HR, which the reference's [0,1] clamp saturates
+            # (see RRDBNet.clamp_output)
+            clamp_output=False,
         )
     elif arch in ("resdiff", "phydiff") and wants_encoder:
         encoder = SimpleCNN(scale_factor=4, channels=channels, dtype=dtype)

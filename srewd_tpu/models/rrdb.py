@@ -60,6 +60,16 @@ class RRDBNet(nn.Module):
     nb: int = 17
     gc: int = 32
     dtype: Optional[Any] = None
+    # Reference parity (RRDBNet.py): clamp the SR output to the [0,1]
+    # internal range before remapping back to [-1,1]. Correct for
+    # [-1,1]-ranged image data; on standard-scaled (sigma-unit) weather
+    # fields it makes every target beyond +-1 sigma unreachable AND zeroes
+    # the gradient for any pixel whose pre-clip output starts outside
+    # [0,1] (at init that is ~half of them: the output freezes near the
+    # constant -1 and L1 loss plateaus at E|HR+1| ~= 1.15). The reference
+    # carries this latent defect on its own sigma-scaled data; the
+    # training paths here disable it (pretrainer.py, factory.py).
+    clamp_output: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, get_fea: bool = False):
@@ -80,7 +90,8 @@ class RRDBNet(nn.Module):
         fea = _lrelu(conv(self.nf)(upsample_nearest2x(fea)))
         fea_hr = conv(self.nf)(fea)
         out = conv(self.out_nc)(_lrelu(fea_hr))
-        out = jnp.clip(out, 0.0, 1.0)
+        if self.clamp_output:
+            out = jnp.clip(out, 0.0, 1.0)
         out = out * 2.0 - 1.0
         if get_fea:
             return out, feas

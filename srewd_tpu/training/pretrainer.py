@@ -46,6 +46,10 @@ def get_encoder_and_criterion(model_cfg: dict, dtype=None):
             nb=int(model_cfg.get("num_block", 17)),
             gc=int(model_cfg.get("hidden_size", 64)) // 2,
             dtype=dtype,
+            # pretrain targets are sigma-scaled; the reference's [0,1]
+            # output clamp saturates them and zeroes half the gradients
+            # at init (see RRDBNet.clamp_output)
+            clamp_output=False,
         )
         criterion = lambda x, y: jnp.mean(jnp.abs(x - y))  # noqa: E731
     else:
