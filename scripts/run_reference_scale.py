@@ -56,6 +56,10 @@ def main():
                          "trajectory; short runs (<50k iters) should use "
                          "0.999 or the EMA rows will lag the raw weights")
     ap.add_argument("--ema-start", type=int, default=5000)
+    ap.add_argument("--grad-clip", type=float, default=None,
+                    help="global-norm gradient clip (train.optimizer."
+                         "grad_clip); sr3 needs ~1.0 on the spectral "
+                         "benchmark (unclipped it collapses at ~5.5k steps)")
     ap.add_argument("--dropout", type=float, default=0.0,
                     help="the reference example uses 0.2; synthetic runs "
                          "converge faster without it")
@@ -143,6 +147,8 @@ def main():
         months_subset=months,
         transform_groups={f"m{m}": [m] for m in months},
     )
+    if args.grad_clip:
+        opt["train"]["optimizer"]["grad_clip"] = args.grad_clip
     opt["train"].update(
         n_iter=args.iters,
         val_freq=args.val_freq,

@@ -54,6 +54,18 @@ def build_trainer(opt: dict, example_batch: dict, dtype=None) -> DiffusionTraine
     sched_val = Schedule.from_config(bs.get("val", bs["train"]))
     ocfg = opt["train"]["optimizer"]
     tx = get_optimizer(ocfg.get("type", "adam"), float(ocfg.get("lr", 1e-4)))
+    if ocfg.get("grad_clip"):
+        # config extension: global-norm gradient clipping ahead of the
+        # optimizer. sr3 (full-field x0 target) measurably needs it on the
+        # spectral benchmark: unclipped Adam 1e-4 blew up at ~5.5k steps and
+        # settled into the zero-output attractor (loss pinned at
+        # E|N(0,1)|=0.798 — VAL_CURVE_SR3_r05.json); the residual archs
+        # never tripped it.
+        import optax
+
+        tx = optax.chain(
+            optax.clip_by_global_norm(float(ocfg["grad_clip"])), tx
+        )
     finetune_norm = bool(opt["model"].get("finetune_norm"))
     if finetune_norm:
         from .training.optimizers import finetune_norm_optimizer
