@@ -441,6 +441,29 @@ class TestBuildTrainerSamplerConfig:
         sr = tr.sample_batch(_batch(1))
         assert sr.shape == (B, H, W, 1)
 
+    def test_ddim_eta_defaults_to_ancestral(self):
+        # QUALITY_r05 sweep: eta=1 matches the DDPM chain, eta=0 rows are
+        # 1.18x bicubic — so the config-layer default is eta=1 (cli.py)
+        from srewd_tpu.cli import build_trainer
+
+        tr = build_trainer(
+            self._opt({"sampler": "ddim", "ddim_steps": 4}), _batch(0))
+        assert tr.sampler_kwargs["ddim_eta"] == 1.0
+
+    def test_grad_clip_knob(self):
+        # train.optimizer.grad_clip chains clip_by_global_norm ahead of the
+        # optimizer (sr3 collapse mitigation, VAL_CURVE_SR3_r05.json); the
+        # clipped trainer must still step and reduce a big-gradient update
+        from srewd_tpu.cli import build_trainer
+
+        opt = self._opt({})
+        opt["train"]["optimizer"]["grad_clip"] = 1.0
+        tr = build_trainer(opt, _batch(0))
+        loss = tr.train_on_batch(_batch(1))
+        assert np.isfinite(loss)
+        # opt_state is now the chained structure (clip state + adam state)
+        assert isinstance(tr.opt_state, tuple) and len(tr.opt_state) == 2
+
 
 class TestFinetuneNorm:
     """finetune_norm (reference model.py:31-44, :208-209): only norm-affine
